@@ -1,0 +1,139 @@
+"""Scheme parameterization.
+
+TPU-native counterpart of the reference's config layer:
+  * ``SecurityParams``  — mirrors ``include/fhe.cuh:15-21`` field for field.
+  * ``SchemeParams``    — mirrors ``include/fhe.cuh:24-39`` but is a frozen,
+    hashable host-side *plan* (no device pointers): the big modulus q is never
+    materialized on device; the RNS prime basis *is* the bigint layer
+    (design decision 1 in SURVEY.md §7 — TPUs have no u64 carry chains, so we
+    use 30-bit word-size primes and lane-sliced uint32 arithmetic instead of
+    the reference's 256-bit limbs + PTX carry chains).
+
+Basis layout (BEHZ-style RNS-BFV, all-integer so it runs on TPU without f64):
+  * q-basis   : k primes of 30 bits, p ≡ 1 (mod 2n)        (ciphertext modulus)
+  * aux-basis : k more 30-bit NTT primes  B = {b_1..b_k}   (tensor-product headroom)
+  * m_sk      : one more 30-bit NTT prime                  (Shenoy-Kumaresan anchor)
+  * m_tilde   : 2**16                                      (exact base-conversion fix)
+  * gamma     : 30-bit prime, not NTT-constrained          (exact RNS decryption)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+from . import primes as _primes
+
+PRIME_BITS = 30  # All RNS primes live in (2**29, 2**30); see ops/modmath.py.
+M_TILDE = 1 << 16
+
+
+@dataclasses.dataclass(frozen=True)
+class SecurityParams:
+    """Security parameters (reference ``include/fhe.cuh:15-21``)."""
+
+    lambda_: int = 128          # security level
+    poly_degree: int = 4096     # n, power of two
+    log_q: int = 120            # log2 of ciphertext modulus
+    sigma: float = 3.2          # gaussian noise stddev
+    hamming_weight: int = 64    # ternary secret-key weight
+
+
+@dataclasses.dataclass(frozen=True)
+class SchemeParams:
+    """Derived scheme plan (reference ``include/fhe.cuh:24-39``, ``src/fhe.cu:7-40``).
+
+    Unlike the reference this holds only Python ints/tuples, so it is hashable
+    and can be a static argument to jitted functions.
+    """
+
+    security: SecurityParams
+    n: int                       # polynomial degree
+    t: int                       # plaintext modulus (65537: slot-friendly Fermat prime)
+    q_primes: tuple[int, ...]    # RNS basis for q = prod(q_primes)
+    aux_primes: tuple[int, ...]  # auxiliary basis B for BEHZ multiplication
+    m_sk: int                    # Shenoy-Kumaresan extra prime
+    gamma: int                   # decryption correction prime
+    m_tilde: int = M_TILDE
+
+    @property
+    def q(self) -> int:
+        return math.prod(self.q_primes)
+
+    @property
+    def delta(self) -> int:
+        """Δ = floor(q/t) (reference ``src/fhe.cu:17`` computes ⌊q/t⌉; floor is
+        the standard BFV choice and what our oracle uses)."""
+        return self.q // self.t
+
+    @property
+    def k(self) -> int:
+        return len(self.q_primes)
+
+    @property
+    def bsk_primes(self) -> tuple[int, ...]:
+        """The extended basis Bsk = B ∪ {m_sk}."""
+        return self.aux_primes + (self.m_sk,)
+
+    @property
+    def slot_count(self) -> int:
+        """SIMD slots (reference ``src/fhe.cu:267-279``: slot_count = n/2)."""
+        return self.n // 2
+
+    def modulus_chain(self) -> tuple[int, ...]:
+        """Modulus-switching chain q_L > q_{L-1} > ... (prefix products of q_primes),
+        mirroring ``SchemeParams::modulus_chain`` (``include/fhe.cuh:38``)."""
+        out = []
+        q = 1
+        for p in self.q_primes:
+            q *= p
+            out.append(q)
+        return tuple(reversed(out))
+
+
+@functools.lru_cache(maxsize=None)
+def make_scheme_params(security: SecurityParams = SecurityParams()) -> SchemeParams:
+    """Expand SecurityParams into a full plan (reference ``src/fhe.cu:7-40``).
+
+    k = ceil(log_q / 30) primes of 30 bits each; the reference used 3x40-bit
+    primes for log_q=120 (``src/fhe.cu:20-23``) — we use 4x30-bit because
+    uint32 lane arithmetic is the TPU word size.
+    """
+    n = security.poly_degree
+    if n & (n - 1) or n < 8:
+        raise ValueError("poly_degree must be a power of two >= 8")
+    t = 65537
+    if (t - 1) % (2 * n) != 0:
+        raise ValueError(f"t=65537 does not support batching for n={n}")
+    k = max(2, math.ceil(security.log_q / PRIME_BITS))
+    # Aux basis must give the tensor product headroom:
+    #   prod(q ∪ B ∪ {m_sk}) > 4 * t * n * q^2, i.e. B*m_sk > 4*t*n*q.
+    # l = k suffices for n <= 8192; n = 16384 needs one extra aux prime.
+    l = k
+    while (1 << (29 * l + 29)) <= 4 * t * n * (1 << (PRIME_BITS * k)):
+        l += 1
+    pool = _primes.find_ntt_primes(n, k + l + 1, bits=PRIME_BITS, exclude=(t,))
+    q_primes = tuple(pool[:k])
+    aux_primes = tuple(pool[k : k + l])
+    m_sk = pool[k + l]
+    # gamma only needs to be coprime to q and t; reuse the NTT-prime generator
+    # with the pool excluded so it is distinct.
+    gamma = _primes.find_ntt_primes(n, 1, bits=PRIME_BITS, exclude=tuple(pool) + (t,))[0]
+    return SchemeParams(
+        security=security,
+        n=n,
+        t=t,
+        q_primes=q_primes,
+        aux_primes=aux_primes,
+        m_sk=m_sk,
+        gamma=gamma,
+    )
+
+
+def default_params(
+    poly_degree: int = 4096, log_q: int = 120, **kw
+) -> SchemeParams:
+    return make_scheme_params(
+        SecurityParams(poly_degree=poly_degree, log_q=log_q, **kw)
+    )
