@@ -13,3 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# This box has a single CPU core: XLA compiles dominate test time, so use the
+# persistent compilation cache (compiled executables survive across pytest
+# runs) and always call jitted entry points in tests.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
