@@ -10,12 +10,14 @@ TPU meshes with jax collectives.
 """
 
 from .params import SecurityParams, SchemeParams, make_scheme_params, default_params
+from .api import FHE
 
 __all__ = [
     "SecurityParams",
     "SchemeParams",
     "make_scheme_params",
     "default_params",
+    "FHE",
 ]
 
 __version__ = "0.1.0"

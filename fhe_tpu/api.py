@@ -1,0 +1,153 @@
+"""High-level FHE API — drop-in surface for users of the reference library.
+
+Mirrors ``fhe::FHEContext`` method-for-method (``include/fhe.cuh:78-148``) as
+a thin object wrapper over the functional scheme layer, with every heavy op
+jit-compiled once per (params, shape).  Encode defaults to SIMD slot encoding
+because the reference's own test expectations assume slot-wise homomorphic
+semantics (tests/test_fhe.cu:264,270); coefficient encoding is available via
+``encode_coeff``/``decode_coeff``.
+
+    from fhe_tpu import FHE
+    fhe = FHE(poly_degree=4096, log_q=120)
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    ct = fhe.encrypt(fhe.encode([1, 2, 3]), pk)
+    out = fhe.decode(fhe.decrypt(fhe.multiply(ct, ct, rlk), sk))
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+
+from .params import SecurityParams, SchemeParams, make_scheme_params
+from .scheme import bfv, encoder as _encoder
+from .scheme.context import SchemeContext, make_context
+from .scheme.types import (Ciphertext, GaloisKeys, Plaintext, PublicKey,
+                           RelinKeys, SecretKey)
+from .utils.perf import PerformanceMonitor
+
+
+class FHE:
+    """Stateful convenience wrapper (thread-safe: all state is immutable
+    except the PRNG counter and the performance monitor)."""
+
+    def __init__(self, params: SchemeParams | None = None, seed: int = 0,
+                 **security_kw):
+        if params is None:
+            params = make_scheme_params(SecurityParams(**security_kw))
+        self.params = params
+        self.ctx: SchemeContext = make_context(params)
+        self._key = jax.random.PRNGKey(seed)
+        self.encoder = _encoder.BatchEncoder(params)
+        self.monitor = PerformanceMonitor()
+        # jit caches
+        self._keygen = jax.jit(bfv.keygen)
+        self._relinkey = jax.jit(bfv.relinkey_gen)
+        self._encrypt = jax.jit(bfv.encrypt)
+        self._decrypt = jax.jit(bfv.decrypt)
+        self._add = jax.jit(bfv.add)
+        self._sub = jax.jit(bfv.sub)
+        self._add_plain = jax.jit(bfv.add_plain)
+        self._sub_plain = jax.jit(bfv.sub_plain)
+        self._mul_plain = jax.jit(bfv.multiply_plain)
+        self._multiply = jax.jit(bfv.multiply)
+        self._multiply_no_relin = jax.jit(bfv.multiply_no_relin)
+        self._relinearize = jax.jit(bfv.relinearize)
+        self._mod_switch = jax.jit(bfv.mod_switch_to_next)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- keys (reference src/fhe.cu:54-111) --
+    def keygen(self) -> tuple[PublicKey, SecretKey]:
+        with self.monitor.time("keygen"):
+            return self._keygen(self.ctx, self._next_key())
+
+    def relinkey_gen(self, sk: SecretKey) -> RelinKeys:
+        with self.monitor.time("relinkey_gen"):
+            return self._relinkey(self.ctx, self._next_key(), sk)
+
+    def galoiskey_gen(self, sk: SecretKey, elements=None) -> GaloisKeys:
+        with self.monitor.time("galoiskey_gen"):
+            return bfv.galoiskey_gen(self.ctx, self._next_key(), sk, elements)
+
+    # -- encoding (slot semantics by default; see module docstring) --
+    def encode(self, values) -> Plaintext:
+        return self.encoder.encode(values)
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        return self.encoder.decode(pt)
+
+    def encode_coeff(self, values) -> Plaintext:
+        return _encoder.encode_coeff(self.params, values)
+
+    def decode_coeff(self, pt: Plaintext) -> np.ndarray:
+        return _encoder.decode_coeff(self.params, pt)
+
+    @property
+    def slot_count(self) -> int:
+        return self.encoder.slot_count
+
+    # -- encrypt/decrypt (reference src/fhe.cu:138-185) --
+    def encrypt(self, pt: Plaintext, pk: PublicKey) -> Ciphertext:
+        with self.monitor.time("encrypt"):
+            return self._encrypt(self.ctx, self._next_key(), pk, pt)
+
+    def decrypt(self, ct: Ciphertext, sk: SecretKey) -> Plaintext:
+        with self.monitor.time("decrypt"):
+            return self._decrypt(self.ctx, ct, sk)
+
+    # -- homomorphic ops --
+    def add(self, a, b):
+        with self.monitor.time("add"):
+            return self._add(self.ctx, a, b)
+
+    def sub(self, a, b):
+        with self.monitor.time("sub"):
+            return self._sub(self.ctx, a, b)
+
+    def add_plain(self, ct, pt):
+        return self._add_plain(self.ctx, ct, pt)
+
+    def sub_plain(self, ct, pt):
+        return self._sub_plain(self.ctx, ct, pt)
+
+    def multiply_plain(self, ct, pt):
+        return self._mul_plain(self.ctx, ct, pt)
+
+    def multiply(self, a, b, rlk: RelinKeys):
+        with self.monitor.time("multiply"):
+            return self._multiply(self.ctx, a, b, rlk)
+
+    def multiply_no_relin(self, a, b):
+        return self._multiply_no_relin(self.ctx, a, b)
+
+    def relinearize(self, ct, rlk: RelinKeys):
+        with self.monitor.time("relinearize"):
+            return self._relinearize(self.ctx, ct, rlk)
+
+    # -- rotations --
+    def rotate_rows(self, ct, steps: int, gal_keys: GaloisKeys):
+        with self.monitor.time("rotate"):
+            return bfv.rotate_rows(self.ctx, ct, steps, gal_keys)
+
+    def rotate_columns(self, ct, gal_keys: GaloisKeys):
+        return bfv.rotate_columns(self.ctx, ct, gal_keys)
+
+    # -- noise management --
+    def mod_switch_to_next(self, ct):
+        return self._mod_switch(self.ctx, ct)
+
+    def mod_switch_to_level(self, ct, level: int):
+        return bfv.mod_switch_to_level(self.ctx, ct, level)
+
+    def bootstrap(self, ct, sk: SecretKey, pk: PublicKey):
+        with self.monitor.time("bootstrap"):
+            return bfv.bootstrap(self.ctx, self._next_key(), ct, sk, pk)
+
+    def estimate_noise_budget(self, ct, sk: SecretKey) -> float:
+        return bfv.estimate_noise_budget(self.ctx, ct, sk)

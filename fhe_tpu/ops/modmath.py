@@ -189,6 +189,13 @@ def pow_mod(base, exp: int, p, mu):
 # -- Fermat-prime fast path for t = 65537 -------------------------------------
 
 
+def reduce_mod_fermat16(x):
+    """Any uint32 x mod 65537, via 2^16 = -1 (mod t): x = lo - hi."""
+    t = U32(65537)
+    r = (x & U32(0xFFFF)) + t - (x >> 16)  # hi < 2^16 <= t so this is >= 1
+    return jnp.where(r >= t, r - t, r)
+
+
 def mul_mod_fermat16(a, b):
     """a*b mod 65537 using 2^16 = -1 (mod t); inputs in [0, 65537).
 
@@ -196,16 +203,6 @@ def mul_mod_fermat16(a, b):
     fold, no Barrett constant needed."""
     t = U32(65537)
     hi, lo = umul32_wide(a, b)
-    # value = hi*2^32 + lo; 2^32 = 1 mod t... (2^16 = -1 -> 2^32 = 1)
-    # so value = hi + lo (mod t); each folded once more below.
-    def fold(x):
-        r = (x & U32(0xFFFF)) + t - (x >> 16) % t  # (low - high) mod t, keep >= 0
-        return jnp.where(r >= t, r - t, r)
-
-    # lo < 2^32: fold twice; hi likewise.
-    def red(x):
-        r = fold(x)
-        return jnp.where(r >= t, r - t, r)
-
-    s = red(hi) + red(lo)
+    # value = hi*2^32 + lo and 2^32 = (2^16)^2 = 1 (mod t), so value = hi + lo.
+    s = reduce_mod_fermat16(hi) + reduce_mod_fermat16(lo)
     return jnp.where(s >= t, s - t, s)

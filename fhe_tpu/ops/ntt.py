@@ -80,7 +80,10 @@ def _build_tables_np(n: int, prime_tuple: tuple[int, ...]):
         ipsi_br = ipows[brv]
         n_inv = pow(n, -1, p)
         rows["p"].append(p)
-        rows["mu"].append(mm.barrett_precompute(p))
+        # Small primes (e.g. t = 65537 for the BatchEncoder's mod-t NTT) get
+        # mu = 0: their transforms only use Shoup butterflies, never Barrett.
+        rows["mu"].append(
+            mm.barrett_precompute(p) if (1 << 29) < p < (1 << 30) else 0)
         rows["psi_br"].append(psi_br.astype(np.uint32))
         rows["psi_br_shoup"].append(
             np.array([mm.shoup_precompute(int(w), p) for w in psi_br], dtype=np.uint32))
@@ -106,6 +109,11 @@ def build_tables(n: int, primes_list) -> NTTTables:
     ``precompute_twiddle_factors``, ``src/ntt.cu:77-107`` — correct here)."""
     host = _build_tables_np(n, tuple(int(p) for p in primes_list))
     return NTTTables(**{k: jnp.asarray(v) for k, v in host.items()})
+
+
+def slice_tables(tb: NTTTables, k: int) -> NTTTables:
+    """First-k-primes view (for modulus-switched levels)."""
+    return NTTTables(*(arr[:k] for arr in tb))
 
 
 def _bcast(tb_slice, k):

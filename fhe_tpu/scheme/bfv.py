@@ -1,0 +1,547 @@
+"""BFV scheme operations — the full homomorphic op set, jittable.
+
+Functional counterpart of the reference ``FHEContext`` methods
+(``include/fhe.cuh:78-148``, bodies ``src/fhe.cu`` — several are stubs or
+declared-only there; SURVEY.md §2.9 row lists them all).  Implemented here:
+
+  keygen, relinkey_gen, galoiskey_gen          (src/fhe.cu:54-111 + :86 decl)
+  encrypt, decrypt                              (src/fhe.cu:138-185)
+  add, add_plain, sub, sub_plain                (src/fhe.cu:187-197 + :98-100 decl)
+  multiply (BEHZ RNS), multiply_plain           (src/fhe.cu:199-224 + :104 decl)
+  relinearize (real key switch, not the reference's truncation stub :226-235)
+  mod_switch_to_next / mod_switch_to_level      (decl :109-110)
+  apply_galois, rotate_rows, rotate_columns     (decl :113-116)
+  key_switch                                    (decl :134-135)
+  modulus_raise + bootstrap (re-encryption refresh; the reference's declared
+  sk-taking signature, :119, :138-140)
+  estimate_noise_budget (host-exact)            (decl :122)
+
+Conventions:
+  * ciphertexts canonical in coefficient domain ([0, q) representatives);
+    NTT forms used internally and available via to_ntt/to_coeff,
+  * every function is pure; randomness comes in as a jax PRNG key,
+  * noise_budget is static float bookkeeping like the reference's
+    (src/fhe.cu:168,195-196,222); estimate_noise_budget gives the exact value.
+
+All semantics are pinned by tests against fhe_tpu.oracle (tests/test_bfv.py),
+including bit-exactness of the multiply pipeline vs oracle.behz_multiply_no_relin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as _ntt
+from ..ops import rns as _rns
+from ..ops import sampling
+from .context import SchemeContext
+from .types import Ciphertext, GaloisKeys, Plaintext, PublicKey, RelinKeys, SecretKey
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _tb(ctx: SchemeContext, level: int = 0) -> _ntt.NTTTables:
+    k = ctx.k - level
+    return _ntt.slice_tables(ctx.ntt_q, k)
+
+
+def _p3(tb):  # [k,1,1] prime broadcast for [k,B,n] tensors
+    return tb.p[:, None, None]
+
+
+def _fresh_noise_budget(ctx: SchemeContext) -> float:
+    """log2(q / (2t * ||v_fresh||)) with the standard fresh-noise estimate."""
+    p = ctx.params
+    h = p.security.hamming_weight
+    sigma = p.security.sigma
+    v = 6.0 * sigma * (1 + 2 * h)
+    return max(0.0, math.log2(p.q / p.t / 2.0) - math.log2(max(v, 1.0)))
+
+
+def to_ntt(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
+    if ct.is_ntt_form:
+        return ct
+    tb = _tb(ctx, ct.level)
+    return ct.replace(data=_ntt.ntt_forward(ct.data, tb), is_ntt_form=True)
+
+
+def to_coeff(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
+    if not ct.is_ntt_form:
+        return ct
+    tb = _tb(ctx, ct.level)
+    return ct.replace(data=_ntt.ntt_inverse(ct.data, tb), is_ntt_form=False)
+
+
+def _lift_plain(ctx: SchemeContext, pt: Plaintext, level: int = 0) -> jax.Array:
+    """pt coeffs mod t (< t < every q_i) viewed as residues: [k, 1, n]."""
+    k = ctx.k - level
+    return jnp.broadcast_to(pt.data[None, None, :], (k, 1, ctx.n)).astype(jnp.uint32)
+
+
+def _scale_by_delta(ctx: SchemeContext, pt: Plaintext) -> jax.Array:
+    """Delta * m as residues [k, 1, n] (encrypt path, src/fhe.cu:156)."""
+    lifted = _lift_plain(ctx, pt)
+    return mm.mul_mod_shoup(
+        lifted,
+        ctx.delta_mod_q[:, None, None],
+        ctx.delta_shoup[:, None, None],
+        _p3(ctx.ntt_q),
+    )
+
+
+# ---------------------------------------------------------------------------
+# key generation (reference src/fhe.cu:54-111, SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+
+def keygen(ctx: SchemeContext, key: jax.Array) -> tuple[PublicKey, SecretKey]:
+    """RLWE keypair: pk = (e - a*s, a) in NTT form, s ternary."""
+    p = ctx.params
+    tb = ctx.ntt_q
+    k_s, k_a, k_e = jax.random.split(key, 3)
+    s = sampling.ternary_rns(k_s, tb.p, 1, p.n, p.security.hamming_weight)
+    a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, p.n)
+    e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, p.n)
+    s_ntt = _ntt.ntt_forward(s, tb)
+    a_ntt = _ntt.ntt_forward(a, tb)
+    e_ntt = _ntt.ntt_forward(e, tb)
+    b_ntt = mm.sub_mod(e_ntt, _ntt.pointwise_mul(a_ntt, s_ntt, tb), _p3(tb))
+    pk = PublicKey(data=jnp.concatenate([b_ntt, a_ntt], axis=1))
+    return pk, SecretKey(data=s_ntt)
+
+
+def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
+                      target_ntt: jax.Array) -> jax.Array:
+    """Keys encrypting (q/q_j) * target per RNS digit j.
+
+    target_ntt: [k, 1, n] the secret-dependent polynomial to switch onto s
+    (s^2 for relin, s(x^g) for Galois).  Returns [k_digits, k, 2, n] NTT form.
+
+    TPU-native analog of the reference's base-2^w loop (src/fhe.cu:76-111):
+    the decomposition base is the RNS prime basis itself."""
+    p = ctx.params
+    tb = ctx.ntt_q
+    k = ctx.k
+    n = p.n
+    # W_j = (q/q_j) mod q_i table, exact on host
+    q = p.q
+    w = np.zeros((k, k), dtype=np.uint32)
+    for j, pj in enumerate(p.q_primes):
+        for i, pi in enumerate(p.q_primes):
+            w[j, i] = (q // pj) % pi
+    w = jnp.asarray(w)
+    keys = []
+    for j in range(k):
+        key, k_a, k_e = jax.random.split(key, 3)
+        a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, n)
+        e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, n)
+        a_ntt = _ntt.ntt_forward(a, tb)
+        e_ntt = _ntt.ntt_forward(e, tb)
+        w_target = mm.mul_mod_barrett(
+            w[j][:, None, None], target_ntt, _p3(tb), tb.mu[:, None, None])
+        b_ntt = mm.add_mod(
+            mm.sub_mod(e_ntt, _ntt.pointwise_mul(a_ntt, sk.data, tb), _p3(tb)),
+            w_target,
+            _p3(tb),
+        )
+        keys.append(jnp.concatenate([b_ntt, a_ntt], axis=1))
+    return jnp.stack(keys)  # [k, k, 2, n]
+
+
+def relinkey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey) -> RelinKeys:
+    """Keys for s^2 -> s switching (reference src/fhe.cu:76-111)."""
+    tb = ctx.ntt_q
+    s2 = _ntt.pointwise_mul(sk.data, sk.data, tb)
+    return RelinKeys(data=_keyswitch_keygen(ctx, key, sk, s2))
+
+
+def galoiskey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
+                  elements=None) -> GaloisKeys:
+    """Keys for s(x^g) -> s switching, default power-of-two rotation set
+    (reference declared-only galoiskey_gen, include/fhe.cuh:86)."""
+    tb = ctx.ntt_q
+    elements = tuple(elements) if elements is not None else tuple(ctx.galois_src.keys())
+    s_coeff = _ntt.ntt_inverse(sk.data, tb)
+    out = {}
+    for g in elements:
+        key, sub = jax.random.split(key)
+        s_g = _apply_galois_coeff(ctx, s_coeff, g)
+        s_g_ntt = _ntt.ntt_forward(s_g, tb)
+        out[g] = _keyswitch_keygen(ctx, sub, sk, s_g_ntt)
+    return GaloisKeys(data=out)
+
+
+# ---------------------------------------------------------------------------
+# encrypt / decrypt (reference src/fhe.cu:138-185, SURVEY.md §3.3/§3.5)
+# ---------------------------------------------------------------------------
+
+
+def encrypt(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
+            pt: Plaintext) -> Ciphertext:
+    """ct = (pk0*u + e1 + Delta*m, pk1*u + e2), coefficient domain."""
+    p = ctx.params
+    tb = ctx.ntt_q
+    k_u, k_e1, k_e2 = jax.random.split(key, 3)
+    u = sampling.ternary_rns(k_u, tb.p, 1, p.n, p.security.hamming_weight)
+    e1 = sampling.gaussian_rns(k_e1, tb.p, p.security.sigma, 1, p.n)
+    e2 = sampling.gaussian_rns(k_e2, tb.p, p.security.sigma, 1, p.n)
+    u_ntt = _ntt.ntt_forward(u, tb)
+    pk_u = _ntt.ntt_inverse(
+        _ntt.pointwise_mul(
+            jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb),
+        tb,
+    )  # [k, 2, n] coeff domain: (pk0*u, pk1*u)
+    c0 = mm.add_mod(
+        mm.add_mod(pk_u[:, :1], e1, _p3(tb)), _scale_by_delta(ctx, pt), _p3(tb))
+    c1 = mm.add_mod(pk_u[:, 1:], e2, _p3(tb))
+    return Ciphertext(
+        data=jnp.concatenate([c0, c1], axis=1),
+        level=0,
+        is_ntt_form=False,
+        noise_budget=_fresh_noise_budget(ctx),
+    )
+
+
+def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
+    """m = round(t/q * [ct(s)]_q) mod t via the exact gamma-trick scaling
+    (the reference's decrypt called an undefined kernel, src/fhe.cu:181-184)."""
+    x = _phase(ctx, ct, sk)
+    m = _rns.decrypt_scale(x[:, None, :], ctx.dec_levels[ct.level])
+    return Plaintext(data=m[0])
+
+
+def _phase(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> jax.Array:
+    """[k, n] coefficient-domain c0 + c1*s + c2*s^2 + ... mod q."""
+    ct = to_coeff(ctx, ct)
+    tb = _tb(ctx, ct.level)
+    k = ctx.k - ct.level
+    sk_l = sk.data[:k]
+    comps = ct.data  # [k, c, n]
+    c = comps.shape[1]
+    acc = comps[:, 0]
+    s_pow = sk_l  # s^1 in NTT form
+    for idx in range(1, c):
+        term = _ntt.ntt_inverse(
+            _ntt.pointwise_mul(
+                _ntt.ntt_forward(comps[:, idx:idx + 1], tb), s_pow, tb),
+            tb,
+        )[:, 0]
+        acc = mm.add_mod(acc, term, tb.p[:, None])
+        if idx + 1 < c:
+            s_pow = _ntt.pointwise_mul(s_pow, sk_l, tb)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# additive ops (reference src/fhe.cu:187-197; declared add_plain/sub/sub_plain)
+# ---------------------------------------------------------------------------
+
+
+def _check_compat(a: Ciphertext, b: Ciphertext):
+    if a.level != b.level or a.is_ntt_form != b.is_ntt_form:
+        raise ValueError("ciphertext level/domain mismatch")
+
+
+def add(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compat(a, b)
+    p = _p3(_tb(ctx, a.level))
+    return a.replace(
+        data=mm.add_mod(a.data, b.data, p),
+        noise_budget=min(a.noise_budget, b.noise_budget) - 1.0,
+    )
+
+
+def sub(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compat(a, b)
+    p = _p3(_tb(ctx, a.level))
+    return a.replace(
+        data=mm.sub_mod(a.data, b.data, p),
+        noise_budget=min(a.noise_budget, b.noise_budget) - 1.0,
+    )
+
+
+def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    """c0 += Delta * m (slot/coeff semantics preserved)."""
+    assert ct.level == 0, "plain ops currently supported at level 0"
+    ct = to_coeff(ctx, ct)
+    p = _p3(ctx.ntt_q)
+    c0 = mm.add_mod(ct.data[:, :1], _scale_by_delta(ctx, pt), p)
+    return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
+
+
+def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    assert ct.level == 0, "plain ops currently supported at level 0"
+    ct = to_coeff(ctx, ct)
+    p = _p3(ctx.ntt_q)
+    c0 = mm.sub_mod(ct.data[:, :1], _scale_by_delta(ctx, pt), p)
+    return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
+
+
+def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    """c_i *= m (negacyclic), no rescale: ct(s)*m = Delta*(m1*m) + v*m."""
+    assert ct.level == 0, "plain ops currently supported at level 0"
+    tb = ctx.ntt_q
+    ct_ntt = to_ntt(ctx, ct)
+    pt_ntt = _ntt.ntt_forward(_lift_plain(ctx, pt), tb)
+    data = _ntt.pointwise_mul(
+        ct_ntt.data, jnp.broadcast_to(pt_ntt, ct_ntt.data.shape), tb)
+    out = ct_ntt.replace(
+        data=data,
+        noise_budget=ct.noise_budget - math.log2(ctx.n) - 16.0,
+    )
+    return to_coeff(ctx, out) if not ct.is_ntt_form else out
+
+
+# ---------------------------------------------------------------------------
+# multiply + relinearize (the benchmark path, SURVEY.md §3.4)
+# ---------------------------------------------------------------------------
+
+
+def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """BEHZ RNS tensor product + t/q scaling -> 3-component ciphertext.
+
+    Bit-exact with oracle.behz_multiply_no_relin.  Replaces the reference's
+    multiply (src/fhe.cu:199-224) whose scaling step didn't exist."""
+    assert a.level == 0 and b.level == 0, "multiply at level 0"
+    a = to_coeff(ctx, a)
+    b = to_coeff(ctx, b)
+    tb_q, tb_bsk = ctx.ntt_q, ctx.ntt_bsk
+
+    # Step 1: centered lift of all 4 components into Bsk.
+    lift_a = _rns.sm_mrq(a.data, ctx.smq)   # [l+1, 2, n]
+    lift_b = _rns.sm_mrq(b.data, ctx.smq)
+
+    # Step 2: tensor products in both bases via NTT.
+    def tensor(x, y, tb):
+        xf = _ntt.ntt_forward(x, tb)
+        yf = _ntt.ntt_forward(y, tb)
+        p = _p3(tb)
+        c0 = _ntt.pointwise_mul(xf[:, :1], yf[:, :1], tb)
+        c2 = _ntt.pointwise_mul(xf[:, 1:], yf[:, 1:], tb)
+        c1 = mm.add_mod(
+            _ntt.pointwise_mul(xf[:, :1], yf[:, 1:], tb),
+            _ntt.pointwise_mul(xf[:, 1:], yf[:, :1], tb),
+            p,
+        )
+        return _ntt.ntt_inverse(jnp.concatenate([c0, c1, c2], axis=1), tb)
+
+    tens_q = tensor(a.data, b.data, tb_q)        # [k, 3, n]
+    tens_bsk = tensor(lift_a, lift_b, tb_bsk)    # [l+1, 3, n]
+
+    # Step 3: scale by t and FastFloor into Bsk.
+    t_mod_q = ctx.dec_c.t  # t < every prime: same residue everywhere
+    tx_q = mm.mul_mod_barrett(
+        tens_q, jnp.broadcast_to(t_mod_q, tens_q.shape), _p3(tb_q),
+        tb_q.mu[:, None, None])
+    tx_bsk = mm.mul_mod_barrett(
+        tens_bsk, jnp.broadcast_to(t_mod_q, tens_bsk.shape), _p3(tb_bsk),
+        tb_bsk.mu[:, None, None])
+    floored = _rns.fast_floor(tx_q, tx_bsk, ctx.floor_c)  # [l+1, 3, n]
+
+    # Step 4: exact conversion back to q.
+    out = _rns.fast_bconv_sk(floored, ctx.sk_c)  # [k, 3, n]
+    nb = min(a.noise_budget, b.noise_budget)
+    return Ciphertext(
+        data=out, level=0, is_ntt_form=False,
+        noise_budget=max(0.0, nb - math.log2(ctx.n) - 16.0 - 6.0),
+    )
+
+
+def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
+    """3 -> 2 components via RNS-digit key switching (real implementation;
+    the reference's relinearize just truncated, src/fhe.cu:226-235)."""
+    assert ct.num_components == 3 and ct.level == 0
+    ct = to_coeff(ctx, ct)
+    c2 = ct.data[:, 2]  # [k, n]
+    acc0, acc1 = _keyswitch_inner(ctx, c2, rlk.data)
+    tb = ctx.ntt_q
+    p = _p3(tb)
+    delta = _ntt.ntt_inverse(jnp.concatenate([acc0, acc1], axis=1), tb)
+    out = mm.add_mod(ct.data[:, :2], delta, p)
+    return ct.replace(data=out, noise_budget=max(0.0, ct.noise_budget - 2.0))
+
+
+def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array):
+    """Key-switch inner product: sum_j NTT(D_j) * key_j over RNS digits.
+
+    poly: [k, n] coeff domain (the component being switched).
+    ks_keys: [k, k, 2, n] NTT form.  Returns (acc0, acc1) each [k, 1, n] NTT.
+
+    The psum over digits is the collective the multi-chip path distributes
+    (SURVEY.md §2 parallelism table, key-switch inner products)."""
+    tb = ctx.ntt_q
+    k = ctx.k
+    p = _p3(tb)
+    # digits: D_j = [poly_j * (q/q_j)^-1]_{q_j}  -> [k, n]
+    d = mm.mul_mod_shoup(
+        poly, ctx.inv_qhat[:, None], ctx.inv_qhat_shoup[:, None], tb.p[:, None])
+    # broadcast digit j to every prime i (reduce D_j mod q_i), NTT once:
+    # [k_primes, k_digits, n]
+    d_all = mm.barrett_reduce_u32(
+        d[None, :, :], tb.p[:, None, None], tb.mu[:, None, None])
+    d_ntt = _ntt.ntt_forward(d_all, tb)  # digits as batch axis
+    acc0 = None
+    acc1 = None
+    for j in range(k):
+        dj = d_ntt[:, j:j + 1]  # [k, 1, n]
+        t0 = _ntt.pointwise_mul(dj, ks_keys[j, :, 0:1], tb)
+        t1 = _ntt.pointwise_mul(dj, ks_keys[j, :, 1:2], tb)
+        acc0 = t0 if acc0 is None else mm.add_mod(acc0, t0, p)
+        acc1 = t1 if acc1 is None else mm.add_mod(acc1, t1, p)
+    return acc0, acc1
+
+
+def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
+             rlk: RelinKeys) -> Ciphertext:
+    """Full homomorphic multiply: tensor + scale + relinearize
+    (reference src/fhe.cu:199-224)."""
+    return relinearize(ctx, multiply_no_relin(ctx, a, b), rlk)
+
+
+# ---------------------------------------------------------------------------
+# key switching / galois rotations (declared-only in the reference)
+# ---------------------------------------------------------------------------
+
+
+def key_switch(ctx: SchemeContext, ct: Ciphertext, ks_keys: jax.Array) -> Ciphertext:
+    """Switch a 2-component ct encrypted under s' to one under s, where
+    ks_keys encrypt (q/q_j)*s' (reference decl include/fhe.cuh:134-135)."""
+    assert ct.num_components == 2 and ct.level == 0
+    ct = to_coeff(ctx, ct)
+    tb = ctx.ntt_q
+    p = _p3(tb)
+    acc0, acc1 = _keyswitch_inner(ctx, ct.data[:, 1], ks_keys)
+    delta = _ntt.ntt_inverse(jnp.concatenate([acc0, acc1], axis=1), tb)
+    c0 = mm.add_mod(ct.data[:, :1], delta[:, :1], p)
+    return ct.replace(data=jnp.concatenate([c0, delta[:, 1:]], axis=1))
+
+
+def _apply_galois_coeff(ctx: SchemeContext, data: jax.Array, g: int) -> jax.Array:
+    """a(x) -> a(x^g) on [k, B, n] coefficient-domain residues."""
+    src = ctx.galois_src[g]
+    neg = ctx.galois_neg[g]
+    gathered = jnp.take(data, src, axis=-1)
+    p = ctx.ntt_q.p[: data.shape[0], None, None]
+    return jnp.where(neg[None, None, :], mm.neg_mod(gathered, p), gathered)
+
+
+def apply_galois(ctx: SchemeContext, ct: Ciphertext, g: int,
+                 gal_keys: GaloisKeys) -> Ciphertext:
+    """Automorphism + key switch (building block of rotate_rows/columns)."""
+    assert ct.num_components == 2 and ct.level == 0
+    ct = to_coeff(ctx, ct)
+    permuted = _apply_galois_coeff(ctx, ct.data, g)
+    tmp = ct.replace(data=permuted)
+    return key_switch(ctx, tmp, gal_keys.data[g]).replace(
+        noise_budget=max(0.0, ct.noise_budget - 2.0))
+
+
+def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
+                gal_keys: GaloisKeys) -> Ciphertext:
+    """Cyclic slot rotation within each row of the 2 x (n/2) slot matrix
+    (reference decl include/fhe.cuh:113-114).  Decomposes |steps| into the
+    power-of-two Galois elements the default keys cover."""
+    n = ctx.n
+    m = 2 * n
+    half = n // 2
+    steps = steps % half
+    if steps == 0:
+        return ct
+    bit = 1
+    while steps:
+        if steps & bit:
+            g = pow(3, bit, m)
+            if g not in gal_keys.data:
+                raise KeyError(f"no galois key for element {g} (step {bit})")
+            ct = apply_galois(ctx, ct, g, gal_keys)
+            steps ^= bit
+        bit <<= 1
+    return ct
+
+
+def rotate_columns(ctx: SchemeContext, ct: Ciphertext,
+                   gal_keys: GaloisKeys) -> Ciphertext:
+    """Swap the two slot rows: g = 2n - 1 (reference decl include/fhe.cuh:115-116)."""
+    return apply_galois(ctx, ct, 2 * ctx.n - 1, gal_keys)
+
+
+# ---------------------------------------------------------------------------
+# modulus switching + bootstrap pipeline (declared-only in the reference)
+# ---------------------------------------------------------------------------
+
+
+def mod_switch_to_next(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
+    """Drop one RNS prime with exact rounding (reference decl
+    include/fhe.cuh:109; kernel poly_mod_switch_kernel never existed)."""
+    ct = to_coeff(ctx, ct)
+    if ct.level >= ctx.k - 1:
+        raise ValueError("already at the last level")
+    mc = ctx.mod_switch[ct.level]
+    new = _rns.mod_switch_drop_last(ct.data, mc)
+    # budget change: q shrinks by ~30 bits but noise divides by q_last too;
+    # net effect approximately -= log2(rounding noise) ~ small constant.
+    return ct.replace(data=new, level=ct.level + 1,
+                      noise_budget=max(0.0, ct.noise_budget - 1.0))
+
+
+def mod_switch_to_level(ctx: SchemeContext, ct: Ciphertext, target: int) -> Ciphertext:
+    while ct.level < target:
+        ct = mod_switch_to_next(ctx, ct)
+    return ct
+
+
+def modulus_raise(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
+    """Approximate base extension back to the full q basis (bootstrap helper,
+    reference decl include/fhe.cuh:140).  Introduces an alpha*q_level additive
+    term absorbed as noise, like all fast-base-conversion raises."""
+    if ct.level == 0:
+        return ct
+    ct = to_coeff(ctx, ct)
+    src = ctx.params.q_primes[: ctx.k - ct.level]
+    cc = _rns.make_base_conv(src, ctx.params.q_primes)
+    return ct.replace(data=_rns.fast_base_conv(ct.data, cc), level=0)
+
+
+def bootstrap(ctx: SchemeContext, key: jax.Array, ct: Ciphertext,
+              sk: SecretKey, pk: PublicKey) -> Ciphertext:
+    """Noise refresh.  The reference declares ``bootstrap(ct, sk)`` taking the
+    *secret key* (include/fhe.cuh:119) — i.e. a trusted re-encryption refresh,
+    not a public bootstrapping; we implement that declared contract:
+    decrypt -> re-encrypt, recovering the fresh noise budget."""
+    pt = decrypt(ctx, mod_switch_to_level(ctx, ct, 0) if ct.level else ct, sk)
+    return encrypt(ctx, key, pk, pt)
+
+
+# ---------------------------------------------------------------------------
+# noise estimation (reference decl include/fhe.cuh:122)
+# ---------------------------------------------------------------------------
+
+
+def estimate_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> float:
+    """Exact remaining noise budget in bits: log2(q/(2t)) - log2(||v||_inf),
+    computed host-side via CRT (the only big-int step, diagnostic only)."""
+    p = ctx.params
+    level = ct.level
+    primes_l = p.q_primes[: ctx.k - level]
+    q = math.prod(primes_l)
+    t = p.t
+    x = np.asarray(_phase(ctx, ct, sk))  # [k, n]
+    m = np.asarray(_rns.decrypt_scale(jnp.asarray(x)[:, None, :],
+                                      ctx.dec_levels[level])[0])
+    coeffs = _rns.from_rns_host(x, primes_l)
+    delta = q // t
+    worst = 1
+    for j, c in enumerate(coeffs):
+        v = (c - delta * int(m[j])) % q
+        if v > q // 2:
+            v = q - v
+        worst = max(worst, v)
+    return max(0.0, math.log2(q / (2 * t)) - math.log2(worst))

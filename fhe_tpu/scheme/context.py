@@ -1,0 +1,155 @@
+"""SchemeContext: the precomputed-constants pytree.
+
+TPU analog of ``FHEContext::FHEContext`` (reference ``src/fhe.cu:7-40``, call
+stack SURVEY.md §3.1): instead of a host object owning device pointers and
+CUDA streams, all constant tables (NTT twiddles + Shoup companions, BEHZ base
+conversion factors, decryption/modswitch constants, Galois permutations) are
+built once on the host with exact integer arithmetic and live in a single
+pytree that jitted scheme functions take as an argument.  ``params`` is a
+static (hashable) field so shapes/levels trace correctly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import primes as _primes
+from ..params import SchemeParams, SecurityParams, make_scheme_params
+from ..ops import modmath as mm
+from ..ops import ntt as _ntt
+from ..ops import rns as _rns
+
+_U = np.uint32
+
+
+@flax.struct.dataclass
+class SchemeContext:
+    params: SchemeParams = flax.struct.field(pytree_node=False)
+
+    # NTT engines (reference NTTEngine/RNS_NTTEngine, include/ntt.cuh:72-137)
+    ntt_q: _ntt.NTTTables          # q basis
+    ntt_bsk: _ntt.NTTTables        # Bsk basis (BEHZ multiply)
+
+    # BEHZ multiply constants
+    smq: _rns.SmMRqConsts          # q -> Bsk centered lift
+    floor_c: _rns.FastFloorConsts  # q -> Bsk floor(t*x/q)
+    sk_c: _rns.SKConsts            # Bsk -> q exact back-conversion
+
+    # encrypt/decrypt constants
+    dec_c: _rns.DecryptConsts      # gamma-trick decryption scaling
+    delta_mod_q: jax.Array         # [k]  floor(q/t) mod q_i
+    delta_shoup: jax.Array         # [k]
+
+    # relinearization digit constants: D_j = [c2_j * (q/q_j)^-1]_{q_j}
+    inv_qhat: jax.Array            # [k]
+    inv_qhat_shoup: jax.Array
+
+    # modulus switching chain (level L -> L+1 drops prime k-1-L)
+    mod_switch: tuple[_rns.ModSwitchConsts, ...]
+
+    # per-level decryption constants (q shrinks with level)
+    dec_levels: tuple[_rns.DecryptConsts, ...]
+
+    # Galois automorphism gather tables: g -> (src index [n], negate flag [n])
+    galois_src: dict[int, jax.Array]
+    galois_neg: dict[int, jax.Array]
+
+    @property
+    def k(self) -> int:
+        return self.params.k
+
+    @property
+    def n(self) -> int:
+        return self.params.n
+
+
+def galois_permutation(n: int, g: int) -> tuple[np.ndarray, np.ndarray]:
+    """Gather form of the automorphism a(x) -> a(x^g) on Z[x]/(x^n+1).
+
+    Maps source coeff i to position g*i mod 2n (negated if >= n); returns the
+    inverse map: out[j] = +-a[src[j]] (reference rotate_rows spec,
+    ``include/fhe.cuh:113-116``)."""
+    assert g % 2 == 1, "galois element must be odd"
+    src = np.zeros(n, dtype=np.int32)
+    neg = np.zeros(n, dtype=bool)
+    for i in range(n):
+        e = (g * i) % (2 * n)
+        pos, flip = (e, False) if e < n else (e - n, True)
+        src[pos] = i
+        neg[pos] = flip
+    return src, neg
+
+
+def default_galois_elements(n: int) -> tuple[int, ...]:
+    """Galois elements for power-of-two row rotations (both directions) plus
+    the column swap g = 2n-1, mirroring SEAL-style key generation."""
+    m = 2 * n
+    elems = []
+    step = 1
+    while step < n // 2:
+        elems.append(pow(3, step, m))
+        elems.append(pow(3, -step, m))
+        step *= 2
+    elems.append(m - 1)
+    return tuple(dict.fromkeys(elems))
+
+
+@functools.lru_cache(maxsize=None)
+def _context_host(params: SchemeParams):
+    """Host-side exact constant computation (cached per params)."""
+    k = params.k
+    t = params.t
+    q = params.q
+    delta = params.delta
+    delta_mod = [delta % p for p in params.q_primes]
+    inv_qhat = [pow(q // p, -1, p) for p in params.q_primes]
+    return {
+        "delta_mod_q": np.array(delta_mod, dtype=_U),
+        "delta_shoup": _rns._shoup_arr(delta_mod, params.q_primes),
+        "inv_qhat": np.array(inv_qhat, dtype=_U),
+        "inv_qhat_shoup": _rns._shoup_arr(inv_qhat, params.q_primes),
+    }
+
+
+def make_context(params: SchemeParams | None = None, **security_kw) -> SchemeContext:
+    """Build the full constants pytree (reference FHEContext ctor analog)."""
+    if params is None:
+        params = make_scheme_params(SecurityParams(**security_kw))
+    host = _context_host(params)
+    n = params.n
+    mod_switch = []
+    dec_levels = []
+    chain = params.q_primes
+    while len(chain) >= 1:
+        dec_levels.append(_rns.make_decrypt(chain, params.t, params.gamma))
+        if len(chain) >= 2:
+            mod_switch.append(_rns.make_mod_switch(chain))
+        chain = chain[:-1]
+    galois_src = {}
+    galois_neg = {}
+    for g in default_galois_elements(n):
+        src, neg = galois_permutation(n, g)
+        galois_src[g] = jnp.asarray(src)
+        galois_neg[g] = jnp.asarray(neg)
+    return SchemeContext(
+        params=params,
+        ntt_q=_ntt.build_tables(n, params.q_primes),
+        ntt_bsk=_ntt.build_tables(n, params.bsk_primes),
+        smq=_rns.make_sm_mrq(params.q_primes, params.bsk_primes, params.m_tilde),
+        floor_c=_rns.make_fast_floor(params.q_primes, params.bsk_primes),
+        sk_c=_rns.make_sk(params.aux_primes, params.m_sk, params.q_primes),
+        dec_c=dec_levels[0],
+        delta_mod_q=jnp.asarray(host["delta_mod_q"]),
+        delta_shoup=jnp.asarray(host["delta_shoup"]),
+        inv_qhat=jnp.asarray(host["inv_qhat"]),
+        inv_qhat_shoup=jnp.asarray(host["inv_qhat_shoup"]),
+        mod_switch=tuple(mod_switch),
+        dec_levels=tuple(dec_levels),
+        galois_src=galois_src,
+        galois_neg=galois_neg,
+    )
