@@ -7,7 +7,9 @@ build").  Must set flags before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session default is the TPU platform: sharding tests
+# need 8 virtual devices, and CI must not depend on the tunnel being up.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,5 +21,7 @@ if "xla_force_host_platform_device_count" not in flags:
 # runs) and always call jitted entry points in tests.
 import jax
 
+# The session-level axon (TPU) plugin ignores the env var, so force via config.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
