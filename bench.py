@@ -26,14 +26,17 @@ BASELINE_MUL_MS = 40.0      # BASELINE.md: multiply incl. relin, RTX 4090
 BASELINE_NTT_MS = 1.89      # BASELINE.md: forward NTT n=8192, RTX 4090
 
 
-def bench_op(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def bench_chain(step, x, iters=50):
+    """Time `step` chained `iters` times inside ONE jit with a data
+    dependency.  Per-call host timing through the axon tunnel is unreliable
+    at sub-ms scales (async dispatch + RPC artifacts); chaining makes device
+    time dominate and was validated against the bf16 matmul roofline."""
+    import jax.lax as lax
+
+    g = jax.jit(lambda v: lax.fori_loop(0, iters, lambda i, y: step(y), v))
+    g(x).block_until_ready()  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    g(x).block_until_ready()
     return (time.perf_counter() - t0) / iters
 
 
@@ -53,24 +56,29 @@ def main():
     ct1 = fhe.encrypt(fhe.encode([5, 10, 15, 20]), pk)
     ct2 = fhe.encrypt(fhe.encode([3, 6, 9, 12]), pk)
 
-    mul = jax.jit(lambda a, b: bfv.multiply(fhe.ctx, ct1.replace(data=a),
-                                            ct2.replace(data=b), rlk).data)
-    mul_s = bench_op(mul, ct1.data, ct2.data)
+    mul_s = bench_chain(
+        lambda a: bfv.multiply(fhe.ctx, ct1.replace(data=a), ct2, rlk).data,
+        ct1.data, iters=20)
 
     # forward NTT on a [3, 1, 8192] residue stack (one polynomial, 3 primes)
-    tb = fhe.ctx.ntt_q
-    fwd = jax.jit(lambda x: _ntt.ntt_forward(x, tb))
-    ntt_s = bench_op(fwd, ct1.data[:, :1, :])
+    def fwd(x):
+        if fhe.ctx.use_pallas:
+            from fhe_tpu.ops import ntt_pallas as _npal
+            return _npal.ntt_forward(x, fhe.ctx.ntt_q_pl)
+        return _ntt.ntt_forward(x, fhe.ctx.ntt_q)
 
-    # batched NTT throughput (64 polynomials per launch amortize relayouts)
+    ntt_s = bench_chain(fwd, ct1.data[:, :1, :])
+
+    # batched NTT throughput (64 polynomials per launch amortize fixed costs)
     big = jnp.tile(ct1.data[:, :1, :], (1, 64, 1))
-    ntt64_s = bench_op(fwd, big) / 64.0
+    ntt64_s = bench_chain(fwd, big) / 64.0
 
     # batched multiply throughput (8 independent ciphertext pairs via vmap)
-    batch8 = jnp.stack([ct1.data] * 8), jnp.stack([ct2.data] * 8)
-    mul8 = jax.jit(jax.vmap(lambda a, b: bfv.multiply(
-        fhe.ctx, ct1.replace(data=a), ct2.replace(data=b), rlk).data))
-    mul8_s = bench_op(mul8, *batch8) / 8.0
+    batch8 = jnp.stack([ct1.data] * 8)
+    mul8_s = bench_chain(
+        jax.vmap(lambda a: bfv.multiply(
+            fhe.ctx, ct1.replace(data=a), ct2, rlk).data),
+        batch8, iters=20) / 8.0
 
     # correctness gate: the benchmark numbers only count if the math is right
     got = fhe.decode(fhe.decrypt(fhe.multiply(ct1, ct2, rlk), sk))

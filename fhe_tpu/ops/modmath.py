@@ -25,10 +25,12 @@ All arithmetic relies on uint32 wraparound (mod 2^32) semantics.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (not jnp arrays): they inline as literals inside Pallas kernels
+U32 = np.uint32
+_MASK16 = np.uint32(0xFFFF)
 
 
 def umul32_wide(a, b):

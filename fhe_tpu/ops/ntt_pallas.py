@@ -1,0 +1,243 @@
+"""Fused Pallas TPU kernels for the negacyclic NTT.
+
+The jnp stage loop (ops/ntt.py) lowers to ~log2(n) separate XLA kernels with
+an HBM round-trip and a relayout between stages — fine for large batches,
+but latency-bound for single polynomials.  These kernels run the *entire*
+transform in VMEM in one pallas_call per (prime, batch-tile).
+
+Layout strategy: Mosaic cannot reshape the lane dimension below 128 (and is
+fragile for some larger splits), so butterflies NEVER reshape the data.
+Every stage operates on the flat [Bt, n] block as a full-width masked
+roll/select:
+
+    v_at_u = roll(x, -t);  u_at_v = roll(x, +t)        # lane-axis shifts
+    x'     = where(first_of_pair, U + w*V, U - w*V)     # CT (forward)
+
+with per-element twiddle vectors (position j -> psi^brv(m + j//(2t)))
+precomputed host-side as [k, S, n] tables.  The circular wrap of roll only
+touches positions that the mask discards.  Each stage costs 2 rolls, 2 Shoup
+multiplies, add/sub and a select — all VPU-width ops.
+
+This replaces the reference's shared-memory single-block CT kernel
+(``ntt_forward_optimized_kernel``, ``kernels/ntt_kernels.cu:7-62``) and its
+__syncthreads() stage barriers: VMEM holds the whole working set (64 KB per
+polynomial at n = 16384), so stages need no synchronization at all.
+
+Bit-exact with ops/ntt.py (tests/test_pallas.py runs interpreter mode on CPU;
+the TPU bench cross-checks compiled kernels against the jnp path).
+Supported: n >= 256 (smaller n falls back to the jnp path in callers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import modmath as mm
+from .ntt import NTTTables, build_tables
+
+_U = np.uint32
+
+
+class PallasNTTTables(NamedTuple):
+    """Per-element twiddle tables, stage-major: [k, S, n], S = log2(n).
+
+    fwd tables are indexed by ascending stage (m = 1, 2, ..., n/2); inv
+    tables hold the Gentleman-Sande twiddles for the same m values (the
+    inverse sweep iterates them in reverse)."""
+
+    p: jax.Array            # [k, 1] (SMEM)
+    n_inv: jax.Array        # [k, 1]
+    n_inv_shoup: jax.Array  # [k, 1]
+    fwd_w: jax.Array        # [k, S, n]
+    fwd_w_sh: jax.Array
+    inv_w: jax.Array        # [k, S, n]
+    inv_w_sh: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.fwd_w.shape[-1]
+
+
+def _stage_ms(n: int) -> tuple[int, ...]:
+    out = []
+    m = 1
+    while m < n:
+        out.append(m)
+        m *= 2
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pallas_host(n: int, prime_tuple: tuple[int, ...]):
+    if n < 256:
+        raise ValueError(f"pallas NTT requires n >= 256, got {n}")
+    base = build_tables(n, prime_tuple)  # reuse exact host tables
+    psi = np.asarray(base.psi_br)        # [k, n]
+    psi_sh = np.asarray(base.psi_br_shoup)
+    ipsi = np.asarray(base.ipsi_br)
+    ipsi_sh = np.asarray(base.ipsi_br_shoup)
+
+    def stage_tbl(tbl, m):
+        # position j -> tbl[m + j // (2t)] where t = n/(2m)
+        t = n // (2 * m)
+        grp = np.arange(n) // (2 * t)
+        return tbl[:, m + grp]
+
+    def pack(tbl):
+        return np.stack([stage_tbl(tbl, m) for m in _stage_ms(n)],
+                        axis=1).astype(_U)
+
+    return dict(
+        p=np.asarray(base.p)[:, None],
+        n_inv=np.asarray(base.n_inv)[:, None],
+        n_inv_shoup=np.asarray(base.n_inv_shoup)[:, None],
+        fwd_w=pack(psi),
+        fwd_w_sh=pack(psi_sh),
+        inv_w=pack(ipsi),
+        inv_w_sh=pack(ipsi_sh),
+    )
+
+
+def build_pallas_tables(n: int, primes_list) -> PallasNTTTables:
+    host = _build_pallas_host(n, tuple(int(p) for p in primes_list))
+    return PallasNTTTables(**{f: jnp.asarray(v) for f, v in host.items()})
+
+
+def from_tables(tb: NTTTables) -> PallasNTTTables:
+    return build_pallas_tables(tb.n, [int(x) for x in np.asarray(tb.p)])
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (pure jnp on values; also used by tests in interpreter mode)
+# ---------------------------------------------------------------------------
+
+
+def _first_of_pair_mask(t: int, shape):
+    """mask[., j] True where flat position j is the FIRST element of its pair."""
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=len(shape) - 1)
+    return (j // t) % 2 == 0
+
+
+def _fwd_sweep(x, w_tbl, w_sh_tbl, p, n):
+    """All CT stages on the flat [Bt, n] block (w_tbl: [S, n])."""
+    for sidx, m in enumerate(_stage_ms(n)):
+        t = n // (2 * m)
+        mask = _first_of_pair_mask(t, x.shape)
+        w = w_tbl[sidx][None]
+        ws = w_sh_tbl[sidx][None]
+        v_at_first = jnp.roll(x, -t, axis=1)      # partner V seen from U slots
+        u_at_second = jnp.roll(x, t, axis=1)      # partner U seen from V slots
+        wv = mm.mul_mod_shoup(v_at_first, w, ws, p)   # w*V at U slots
+        wx = mm.mul_mod_shoup(x, w, ws, p)            # w*V at V slots
+        x = jnp.where(mask,
+                      mm.add_mod(x, wv, p),            # U + w*V
+                      mm.sub_mod(u_at_second, wx, p))  # U - w*V
+    return x
+
+
+def _inv_sweep(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
+    """All GS stages (m = n/2 .. 1) + n^-1 scale on the flat [Bt, n] block."""
+    stages = list(enumerate(_stage_ms(n)))[::-1]
+    for sidx, m in stages:
+        t = n // (2 * m)
+        mask = _first_of_pair_mask(t, x.shape)
+        w = w_tbl[sidx][None]
+        ws = w_sh_tbl[sidx][None]
+        v_at_first = jnp.roll(x, -t, axis=1)
+        u_at_second = jnp.roll(x, t, axis=1)
+        summed = mm.add_mod(x, v_at_first, p)                # U + V
+        diffed = mm.mul_mod_shoup(
+            mm.sub_mod(u_at_second, x, p), w, ws, p)         # (U - V) * w
+        x = jnp.where(mask, summed, diffed)
+    return mm.mul_mod_shoup(x, n_inv, n_inv_sh, p)
+
+
+def _fwd_kernel(p_ref, w_ref, wsh_ref, x_ref, o_ref):
+    n = x_ref.shape[-1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    o_ref[...] = _fwd_sweep(x_ref[0], w_ref[0], wsh_ref[0], p, n)[None]
+
+
+def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, x_ref, o_ref):
+    n = x_ref.shape[-1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    o_ref[...] = _inv_sweep(
+        x_ref[0], w_ref[0], wsh_ref[0], ninv_ref[i, 0], ninvsh_ref[i, 0], p, n
+    )[None]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _specs(k, batch, bt, n, s):
+    grid = (k, pl.cdiv(batch, bt))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # per-prime table block: last two dims equal the array's -> allowed
+    table = pl.BlockSpec((1, s, n), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    data = pl.BlockSpec((1, bt, n), lambda i, b: (i, b, 0),
+                        memory_space=pltpu.VMEM)
+    return grid, smem, table, data
+
+
+def _pick_bt(batch: int, block_batch: int) -> int:
+    bt = min(block_batch, batch)
+    while batch % bt:
+        bt -= 1
+    return bt
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_batch"))
+def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
+                block_batch: int = 16) -> jax.Array:
+    """[k, batch, n] fused forward NTT; bit-exact with ops/ntt.ntt_forward."""
+    k, batch, n = a.shape
+    bt = _pick_bt(batch, block_batch)
+    s = pt.fwd_w.shape[1]
+    grid, smem, table, data = _specs(k, batch, bt, n, s)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[smem, table, table, data],
+        out_specs=data,
+        out_shape=jax.ShapeDtypeStruct((k, batch, n), jnp.uint32),
+        interpret=interpret,
+    )(pt.p, pt.fwd_w, pt.fwd_w_sh, a)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_batch"))
+def ntt_inverse(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
+                block_batch: int = 16) -> jax.Array:
+    """[k, batch, n] fused inverse NTT; bit-exact with ops/ntt.ntt_inverse."""
+    k, batch, n = a.shape
+    bt = _pick_bt(batch, block_batch)
+    s = pt.inv_w.shape[1]
+    grid, smem, table, data = _specs(k, batch, bt, n, s)
+    return pl.pallas_call(
+        _inv_kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem, table, table, data],
+        out_specs=data,
+        out_shape=jax.ShapeDtypeStruct((k, batch, n), jnp.uint32),
+        interpret=interpret,
+    )(pt.p, pt.n_inv, pt.n_inv_shoup, pt.inv_w, pt.inv_w_sh, a)
+
+
+def polymul_negacyclic(a: jax.Array, b: jax.Array, tb: NTTTables,
+                       pt: PallasNTTTables, interpret: bool = False) -> jax.Array:
+    """Fused-kernel negacyclic polymul (pointwise stays a trivial XLA op)."""
+    fa = ntt_forward(a, pt, interpret=interpret)
+    fb = ntt_forward(b, pt, interpret=interpret)
+    prod = mm.mul_mod_barrett(fa, fb, tb.p[:, None, None], tb.mu[:, None, None])
+    return ntt_inverse(prod, pt, interpret=interpret)

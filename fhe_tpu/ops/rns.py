@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from . import modmath as mm
 
 _U = np.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)
 
 
 def _shoup_arr(vals, mods):
@@ -188,9 +188,9 @@ def sm_mrq(x: jax.Array, sc: SmMRqConsts) -> jax.Array:
     p_dst = cc.p_dst[:, None, None]
     alpha_b = alpha[None, :, :]
     alpha_mod = jnp.where(
-        alpha_b < jnp.uint32(1 << 15),
+        alpha_b < np.uint32(1 << 15),
         alpha_b,
-        p_dst - (jnp.uint32(1 << 16) - alpha_b),
+        p_dst - (np.uint32(1 << 16) - alpha_b),
     )
     aq = mm.mul_mod_shoup(
         alpha_mod, sc.q_mod_dst[:, None, None], sc.q_shoup_dst[:, None, None], p_dst

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as _ntt
+from ..ops import ntt_pallas as _ntt_pl
 from ..ops import rns as _rns
 from ..ops import sampling
 from .context import SchemeContext
@@ -51,6 +52,31 @@ from .types import Ciphertext, GaloisKeys, Plaintext, PublicKey, RelinKeys, Secr
 def _tb(ctx: SchemeContext, level: int = 0) -> _ntt.NTTTables:
     k = ctx.k - level
     return _ntt.slice_tables(ctx.ntt_q, k)
+
+
+def _fwd_q(ctx: SchemeContext, x, level: int = 0):
+    """Forward NTT in the q basis, fused-kernel path when available."""
+    if ctx.use_pallas and level == 0:
+        return _ntt_pl.ntt_forward(x, ctx.ntt_q_pl)
+    return _ntt.ntt_forward(x, _tb(ctx, level))
+
+
+def _inv_q(ctx: SchemeContext, x, level: int = 0):
+    if ctx.use_pallas and level == 0:
+        return _ntt_pl.ntt_inverse(x, ctx.ntt_q_pl)
+    return _ntt.ntt_inverse(x, _tb(ctx, level))
+
+
+def _fwd_bsk(ctx: SchemeContext, x):
+    if ctx.use_pallas:
+        return _ntt_pl.ntt_forward(x, ctx.ntt_bsk_pl)
+    return _ntt.ntt_forward(x, ctx.ntt_bsk)
+
+
+def _inv_bsk(ctx: SchemeContext, x):
+    if ctx.use_pallas:
+        return _ntt_pl.ntt_inverse(x, ctx.ntt_bsk_pl)
+    return _ntt.ntt_inverse(x, ctx.ntt_bsk)
 
 
 def _p3(tb):  # [k,1,1] prime broadcast for [k,B,n] tensors
@@ -69,15 +95,13 @@ def _fresh_noise_budget(ctx: SchemeContext) -> float:
 def to_ntt(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
     if ct.is_ntt_form:
         return ct
-    tb = _tb(ctx, ct.level)
-    return ct.replace(data=_ntt.ntt_forward(ct.data, tb), is_ntt_form=True)
+    return ct.replace(data=_fwd_q(ctx, ct.data, ct.level), is_ntt_form=True)
 
 
 def to_coeff(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
     if not ct.is_ntt_form:
         return ct
-    tb = _tb(ctx, ct.level)
-    return ct.replace(data=_ntt.ntt_inverse(ct.data, tb), is_ntt_form=False)
+    return ct.replace(data=_inv_q(ctx, ct.data, ct.level), is_ntt_form=False)
 
 
 def _lift_plain(ctx: SchemeContext, pt: Plaintext, level: int = 0) -> jax.Array:
@@ -110,9 +134,9 @@ def keygen(ctx: SchemeContext, key: jax.Array) -> tuple[PublicKey, SecretKey]:
     s = sampling.ternary_rns(k_s, tb.p, 1, p.n, p.security.hamming_weight)
     a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, p.n)
     e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, p.n)
-    s_ntt = _ntt.ntt_forward(s, tb)
-    a_ntt = _ntt.ntt_forward(a, tb)
-    e_ntt = _ntt.ntt_forward(e, tb)
+    s_ntt = _fwd_q(ctx, s)
+    a_ntt = _fwd_q(ctx, a)
+    e_ntt = _fwd_q(ctx, e)
     b_ntt = mm.sub_mod(e_ntt, _ntt.pointwise_mul(a_ntt, s_ntt, tb), _p3(tb))
     pk = PublicKey(data=jnp.concatenate([b_ntt, a_ntt], axis=1))
     return pk, SecretKey(data=s_ntt)
@@ -143,8 +167,8 @@ def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
         key, k_a, k_e = jax.random.split(key, 3)
         a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, n)
         e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, n)
-        a_ntt = _ntt.ntt_forward(a, tb)
-        e_ntt = _ntt.ntt_forward(e, tb)
+        a_ntt = _fwd_q(ctx, a)
+        e_ntt = _fwd_q(ctx, e)
         w_target = mm.mul_mod_barrett(
             w[j][:, None, None], target_ntt, _p3(tb), tb.mu[:, None, None])
         b_ntt = mm.add_mod(
@@ -169,12 +193,12 @@ def galoiskey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
     (reference declared-only galoiskey_gen, include/fhe.cuh:86)."""
     tb = ctx.ntt_q
     elements = tuple(elements) if elements is not None else tuple(ctx.galois_src.keys())
-    s_coeff = _ntt.ntt_inverse(sk.data, tb)
+    s_coeff = _inv_q(ctx, sk.data)
     out = {}
     for g in elements:
         key, sub = jax.random.split(key)
         s_g = _apply_galois_coeff(ctx, s_coeff, g)
-        s_g_ntt = _ntt.ntt_forward(s_g, tb)
+        s_g_ntt = _fwd_q(ctx, s_g)
         out[g] = _keyswitch_keygen(ctx, sub, sk, s_g_ntt)
     return GaloisKeys(data=out)
 
@@ -193,12 +217,10 @@ def encrypt(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
     u = sampling.ternary_rns(k_u, tb.p, 1, p.n, p.security.hamming_weight)
     e1 = sampling.gaussian_rns(k_e1, tb.p, p.security.sigma, 1, p.n)
     e2 = sampling.gaussian_rns(k_e2, tb.p, p.security.sigma, 1, p.n)
-    u_ntt = _ntt.ntt_forward(u, tb)
-    pk_u = _ntt.ntt_inverse(
-        _ntt.pointwise_mul(
-            jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb),
-        tb,
-    )  # [k, 2, n] coeff domain: (pk0*u, pk1*u)
+    u_ntt = _fwd_q(ctx, u)
+    pk_u = _inv_q(ctx, _ntt.pointwise_mul(
+        jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb))
+    # [k, 2, n] coeff domain: (pk0*u, pk1*u)
     c0 = mm.add_mod(
         mm.add_mod(pk_u[:, :1], e1, _p3(tb)), _scale_by_delta(ctx, pt), _p3(tb))
     c1 = mm.add_mod(pk_u[:, 1:], e2, _p3(tb))
@@ -229,11 +251,9 @@ def _phase(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> jax.Array:
     acc = comps[:, 0]
     s_pow = sk_l  # s^1 in NTT form
     for idx in range(1, c):
-        term = _ntt.ntt_inverse(
-            _ntt.pointwise_mul(
-                _ntt.ntt_forward(comps[:, idx:idx + 1], tb), s_pow, tb),
-            tb,
-        )[:, 0]
+        term = _inv_q(ctx, _ntt.pointwise_mul(
+            _fwd_q(ctx, comps[:, idx:idx + 1], ct.level), s_pow, tb),
+            ct.level)[:, 0]
         acc = mm.add_mod(acc, term, tb.p[:, None])
         if idx + 1 < c:
             s_pow = _ntt.pointwise_mul(s_pow, sk_l, tb)
@@ -290,7 +310,7 @@ def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphert
     assert ct.level == 0, "plain ops currently supported at level 0"
     tb = ctx.ntt_q
     ct_ntt = to_ntt(ctx, ct)
-    pt_ntt = _ntt.ntt_forward(_lift_plain(ctx, pt), tb)
+    pt_ntt = _fwd_q(ctx, _lift_plain(ctx, pt))
     data = _ntt.pointwise_mul(
         ct_ntt.data, jnp.broadcast_to(pt_ntt, ct_ntt.data.shape), tb)
     out = ct_ntt.replace(
@@ -320,9 +340,9 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     lift_b = _rns.sm_mrq(b.data, ctx.smq)
 
     # Step 2: tensor products in both bases via NTT.
-    def tensor(x, y, tb):
-        xf = _ntt.ntt_forward(x, tb)
-        yf = _ntt.ntt_forward(y, tb)
+    def tensor(x, y, tb, fwd, inv):
+        xf = fwd(ctx, x)
+        yf = fwd(ctx, y)
         p = _p3(tb)
         c0 = _ntt.pointwise_mul(xf[:, :1], yf[:, :1], tb)
         c2 = _ntt.pointwise_mul(xf[:, 1:], yf[:, 1:], tb)
@@ -331,10 +351,10 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
             _ntt.pointwise_mul(xf[:, 1:], yf[:, :1], tb),
             p,
         )
-        return _ntt.ntt_inverse(jnp.concatenate([c0, c1, c2], axis=1), tb)
+        return inv(ctx, jnp.concatenate([c0, c1, c2], axis=1))
 
-    tens_q = tensor(a.data, b.data, tb_q)        # [k, 3, n]
-    tens_bsk = tensor(lift_a, lift_b, tb_bsk)    # [l+1, 3, n]
+    tens_q = tensor(a.data, b.data, tb_q, _fwd_q, _inv_q)          # [k, 3, n]
+    tens_bsk = tensor(lift_a, lift_b, tb_bsk, _fwd_bsk, _inv_bsk)  # [l+1, 3, n]
 
     # Step 3: scale by t and FastFloor into Bsk.
     t_mod_q = ctx.dec_c.t  # t < every prime: same residue everywhere
@@ -364,7 +384,7 @@ def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys) -> Ciphertex
     acc0, acc1 = _keyswitch_inner(ctx, c2, rlk.data)
     tb = ctx.ntt_q
     p = _p3(tb)
-    delta = _ntt.ntt_inverse(jnp.concatenate([acc0, acc1], axis=1), tb)
+    delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1))
     out = mm.add_mod(ct.data[:, :2], delta, p)
     return ct.replace(data=out, noise_budget=max(0.0, ct.noise_budget - 2.0))
 
@@ -387,7 +407,7 @@ def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array):
     # [k_primes, k_digits, n]
     d_all = mm.barrett_reduce_u32(
         d[None, :, :], tb.p[:, None, None], tb.mu[:, None, None])
-    d_ntt = _ntt.ntt_forward(d_all, tb)  # digits as batch axis
+    d_ntt = _fwd_q(ctx, d_all)  # digits as batch axis
     acc0 = None
     acc1 = None
     for j in range(k):
@@ -419,7 +439,7 @@ def key_switch(ctx: SchemeContext, ct: Ciphertext, ks_keys: jax.Array) -> Cipher
     tb = ctx.ntt_q
     p = _p3(tb)
     acc0, acc1 = _keyswitch_inner(ctx, ct.data[:, 1], ks_keys)
-    delta = _ntt.ntt_inverse(jnp.concatenate([acc0, acc1], axis=1), tb)
+    delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1))
     c0 = mm.add_mod(ct.data[:, :1], delta[:, :1], p)
     return ct.replace(data=jnp.concatenate([c0, delta[:, 1:]], axis=1))
 

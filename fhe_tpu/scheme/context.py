@@ -22,6 +22,7 @@ from .. import primes as _primes
 from ..params import SchemeParams, SecurityParams, make_scheme_params
 from ..ops import modmath as mm
 from ..ops import ntt as _ntt
+from ..ops import ntt_pallas as _ntt_pl
 from ..ops import rns as _rns
 
 _U = np.uint32
@@ -34,6 +35,11 @@ class SchemeContext:
     # NTT engines (reference NTTEngine/RNS_NTTEngine, include/ntt.cuh:72-137)
     ntt_q: _ntt.NTTTables          # q basis
     ntt_bsk: _ntt.NTTTables        # Bsk basis (BEHZ multiply)
+    # Fused-kernel twiddle tables (None on CPU / tiny n); use_pallas routes
+    # the hot transforms through ops/ntt_pallas.py
+    ntt_q_pl: _ntt_pl.PallasNTTTables | None
+    ntt_bsk_pl: _ntt_pl.PallasNTTTables | None
+    use_pallas: bool = flax.struct.field(pytree_node=False)
 
     # BEHZ multiply constants
     smq: _rns.SmMRqConsts          # q -> Bsk centered lift
@@ -116,10 +122,16 @@ def _context_host(params: SchemeParams):
     }
 
 
-def make_context(params: SchemeParams | None = None, **security_kw) -> SchemeContext:
-    """Build the full constants pytree (reference FHEContext ctor analog)."""
+def make_context(params: SchemeParams | None = None, use_pallas: bool | None = None,
+                 **security_kw) -> SchemeContext:
+    """Build the full constants pytree (reference FHEContext ctor analog).
+
+    use_pallas: route hot NTTs through the fused Pallas kernels.  Default:
+    auto (on for TPU backends when n >= 256)."""
     if params is None:
         params = make_scheme_params(SecurityParams(**security_kw))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and params.n >= 256
     host = _context_host(params)
     n = params.n
     mod_switch = []
@@ -140,6 +152,9 @@ def make_context(params: SchemeParams | None = None, **security_kw) -> SchemeCon
         params=params,
         ntt_q=_ntt.build_tables(n, params.q_primes),
         ntt_bsk=_ntt.build_tables(n, params.bsk_primes),
+        ntt_q_pl=_ntt_pl.build_pallas_tables(n, params.q_primes) if use_pallas else None,
+        ntt_bsk_pl=_ntt_pl.build_pallas_tables(n, params.bsk_primes) if use_pallas else None,
+        use_pallas=use_pallas,
         smq=_rns.make_sm_mrq(params.q_primes, params.bsk_primes, params.m_tilde),
         floor_c=_rns.make_fast_floor(params.q_primes, params.bsk_primes),
         sk_c=_rns.make_sk(params.aux_primes, params.m_sk, params.q_primes),
