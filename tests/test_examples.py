@@ -1,0 +1,33 @@
+"""Golden-workflow example tests — the reference's ``make test`` runs every
+example binary and fails on nonzero exit (``Makefile:63-69``); this is the
+same contract for the Python examples."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+_EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
+
+
+@pytest.mark.parametrize("script", [
+    "basic_encryption.py",
+    "homomorphic_operations.py",
+    "batch_processing.py",
+])
+def test_example_exits_zero(script):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # share the persistent XLA compile cache with the main suite
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
+    # single-core CI: run the same golden workflow at a smaller degree
+    env.setdefault("FHE_EXAMPLE_POLY_DEGREE", "1024")
+    proc = subprocess.run(
+        [sys.executable, str(_EXAMPLES / script)],
+        capture_output=True, text=True, timeout=560, env=env)
+    assert proc.returncode == 0, (
+        f"{script} failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}")

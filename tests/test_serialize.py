@@ -1,0 +1,61 @@
+"""Serialization round-trip tests (capability the reference lacks,
+SURVEY.md §5 'Checkpoint / resume')."""
+
+import numpy as np
+import pytest
+
+from fhe_tpu import FHE
+from fhe_tpu.utils import serialize
+
+
+@pytest.fixture(scope="module")
+def small_fhe():
+    fhe = FHE(poly_degree=256, log_q=60, seed=3)
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    gk = fhe.galoiskey_gen(sk, elements=[3])
+    return fhe, pk, sk, rlk, gk
+
+
+def test_roundtrip_all_types(tmp_path, small_fhe):
+    fhe, pk, sk, rlk, gk = small_fhe
+    pt = fhe.encode([1, 2, 3])
+    ct = fhe.encrypt(pt, pk)
+    path = tmp_path / "bundle.npz"
+    serialize.save(path, {"pk": pk, "sk": sk, "rlk": rlk, "gk": gk,
+                          "pt": pt, "ct": ct})
+    out = serialize.load(path)
+
+    assert np.array_equal(out["pk"].data, pk.data)
+    assert np.array_equal(out["sk"].data, sk.data)
+    assert np.array_equal(out["rlk"].data, rlk.data)
+    assert out["gk"].elements() == gk.elements()
+    for g in gk.elements():
+        assert np.array_equal(out["gk"].data[g], gk.data[g])
+    assert np.array_equal(out["pt"].data, pt.data)
+    assert out["pt"].is_ntt_form == pt.is_ntt_form
+    assert np.array_equal(out["ct"].data, ct.data)
+    assert out["ct"].level == ct.level
+    assert out["ct"].is_ntt_form == ct.is_ntt_form
+
+
+def test_loaded_keys_decrypt(tmp_path, small_fhe):
+    """A ciphertext+key saved and reloaded must still decrypt correctly."""
+    fhe, pk, sk, rlk, gk = small_fhe
+    ct = fhe.encrypt(fhe.encode([7, 8, 9]), pk)
+    path = tmp_path / "ct.npz"
+    serialize.save(path, {"ct": ct, "sk": sk})
+    out = serialize.load(path)
+    vals = fhe.decode(fhe.decrypt(out["ct"], out["sk"]))
+    assert list(vals[:3]) == [7, 8, 9]
+
+
+def test_rejects_unknown_type(tmp_path):
+    with pytest.raises(TypeError):
+        serialize.save(tmp_path / "x.npz", {"bad": object()})
+
+
+def test_rejects_slash_names(tmp_path, small_fhe):
+    fhe, pk, *_ = small_fhe
+    with pytest.raises(ValueError):
+        serialize.save(tmp_path / "x.npz", {"a/b": pk})
