@@ -61,11 +61,48 @@ class NTTTables(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def _build_tables_np(n: int, prime_tuple: tuple[int, ...]):
-    """Host-side table build (exact Python ints -> numpy uint32)."""
+    """Host-side table build (exact Python ints -> numpy uint32).
+
+    Uses the native C++ builder (``native/fhecore.cpp:fhe_build_ntt_tables``)
+    when available; the Python body below is the bit-identical fallback."""
+    from ..utils import native as _native
+
     bits = n.bit_length() - 1
-    brv = np.array([_primes.bit_reverse(i, bits) for i in range(n)])
     rows = {f: [] for f in NTTTables._fields}
+    pending = []  # primes the native path could not handle
     for p in prime_tuple:
+        fast = _native.build_ntt_tables(n, p)
+        if fast is None:
+            pending.append(p)
+            continue
+        psi_br, psi_sh, ipsi_br, ipsi_sh, n_inv, n_inv_sh = fast
+        rows["p"].append(p)
+        rows["mu"].append(
+            mm.barrett_precompute(p) if (1 << 29) < p < (1 << 30) else 0)
+        rows["psi_br"].append(psi_br)
+        rows["psi_br_shoup"].append(psi_sh)
+        rows["ipsi_br"].append(ipsi_br)
+        rows["ipsi_br_shoup"].append(ipsi_sh)
+        rows["n_inv"].append(n_inv)
+        rows["n_inv_shoup"].append(n_inv_sh)
+    if pending and rows["p"]:
+        # mixed native/python would break ordering; redo everything in python
+        rows = {f: [] for f in NTTTables._fields}
+        pending = list(prime_tuple)
+    elif not pending:
+        return {
+            "p": np.array(rows["p"], dtype=np.uint32),
+            "mu": np.array(rows["mu"], dtype=np.uint32),
+            "psi_br": np.stack(rows["psi_br"]),
+            "psi_br_shoup": np.stack(rows["psi_br_shoup"]),
+            "ipsi_br": np.stack(rows["ipsi_br"]),
+            "ipsi_br_shoup": np.stack(rows["ipsi_br_shoup"]),
+            "n_inv": np.array(rows["n_inv"], dtype=np.uint32),
+            "n_inv_shoup": np.array(rows["n_inv_shoup"], dtype=np.uint32),
+        }
+
+    brv = np.array([_primes.bit_reverse(i, bits) for i in range(n)])
+    for p in pending:
         psi = _primes.negacyclic_psi(n, p)
         ipsi = pow(psi, -1, p)
         pows = np.empty(n, dtype=object)

@@ -10,12 +10,15 @@ context-construction time (the TPU analog of ``FHEContext::FHEContext``,
 reference ``src/fhe.cu:7-40``) to build the constant tables that are then
 ``device_put`` onto the chip.  A native C++ fast path lives in
 ``native/fhecore.cpp`` and is used transparently when built (see
-``fhe_tpu.utils.native``).
+``fhe_tpu.utils.native``); every wrapper falls back to the Python body when
+the shared library is absent, with bit-identical results.
 """
 
 from __future__ import annotations
 
 import functools
+
+from .utils import native as _native
 
 # Deterministic Miller-Rabin witness set: correct for all n < 3.3 * 10^24.
 _MR_WITNESSES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
@@ -27,6 +30,9 @@ def is_prime(n: int) -> bool:
     Replaces the reference's declared-but-stubbed ``is_prime``
     (``include/rns.cuh:146``).
     """
+    fast = _native.is_prime(n) if n >= 0 else None
+    if fast is not None:
+        return fast
     if n < 2:
         return False
     for p in _MR_WITNESSES:
@@ -63,6 +69,9 @@ def find_ntt_primes(
     2**bits) so that downstream Barrett constants fit in uint32 (we rely on
     2**(bits-1) < p < 2**bits with bits == 30 for the hot kernels).
     """
+    fast = _native.find_ntt_primes(n, count, bits, tuple(exclude))
+    if fast is not None:
+        return fast
     two_n = 2 * n
     # Largest candidate ≡ 1 (mod 2n) below 2**bits.
     p = (1 << bits) - 1
@@ -130,6 +139,9 @@ def root_of_unity(order: int, p: int) -> int:
 
 def negacyclic_psi(n: int, p: int) -> int:
     """Primitive 2n-th root of unity ψ mod p (ψ^n ≡ -1), for X^n + 1."""
+    fast = _native.negacyclic_psi(n, p)
+    if fast is not None:
+        return fast
     psi = root_of_unity(2 * n, p)
     assert pow(psi, n, p) == p - 1
     return psi
