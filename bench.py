@@ -26,18 +26,30 @@ BASELINE_MUL_MS = 40.0      # BASELINE.md: multiply incl. relin, RTX 4090
 BASELINE_NTT_MS = 1.89      # BASELINE.md: forward NTT n=8192, RTX 4090
 
 
-def bench_chain(step, x, iters=50):
-    """Time `step` chained `iters` times inside ONE jit with a data
-    dependency.  Per-call host timing through the axon tunnel is unreliable
-    at sub-ms scales (async dispatch + RPC artifacts); chaining makes device
-    time dominate and was validated against the bf16 matmul roofline."""
+def _chain_total(step, x, iters, repeats=3):
+    """Wall time of `iters` data-dependent steps inside ONE jit; min over
+    repeats (min is the robust statistic for RPC-latency noise)."""
     import jax.lax as lax
 
-    g = jax.jit(lambda v: lax.fori_loop(0, iters, lambda i, y: step(y), v))
+    g = jax.jit(lambda v: lax.fori_loop(0, iters, lambda i, y: step(y), v),
+                static_argnums=())
     g(x).block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    g(x).block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        g(x).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_chain(step, x, iters=50, lo=5):
+    """Per-op device time via the two-point slope: the host<->device tunnel
+    adds a large constant per dispatch (~30 ms RPC round-trip on this setup),
+    so  t_op = (T(iters) - T(lo)) / (iters - lo)  cancels it exactly.  The
+    chain has a data dependency, so ops cannot overlap."""
+    t_hi = _chain_total(step, x, iters)
+    t_lo = _chain_total(step, x, lo)
+    return max(t_hi - t_lo, 1e-9) / (iters - lo)
 
 
 def main():
@@ -58,7 +70,7 @@ def main():
 
     mul_s = bench_chain(
         lambda a: bfv.multiply(fhe.ctx, ct1.replace(data=a), ct2, rlk).data,
-        ct1.data, iters=20)
+        ct1.data, iters=85)
 
     # forward NTT on a [3, 1, 8192] residue stack (one polynomial, 3 primes)
     def fwd(x):
@@ -67,18 +79,65 @@ def main():
             return _npal.ntt_forward(x, fhe.ctx.ntt_q_pl)
         return _ntt.ntt_forward(x, fhe.ctx.ntt_q)
 
-    ntt_s = bench_chain(fwd, ct1.data[:, :1, :])
+    ntt_s = bench_chain(fwd, ct1.data[:, :1, :], iters=405)
 
     # batched NTT throughput (64 polynomials per launch amortize fixed costs)
     big = jnp.tile(ct1.data[:, :1, :], (1, 64, 1))
-    ntt64_s = bench_chain(fwd, big) / 64.0
+    ntt64_s = bench_chain(fwd, big, iters=105) / 64.0
 
     # batched multiply throughput (8 independent ciphertext pairs via vmap)
     batch8 = jnp.stack([ct1.data] * 8)
     mul8_s = bench_chain(
         jax.vmap(lambda a: bfv.multiply(
             fhe.ctx, ct1.replace(data=a), ct2, rlk).data),
-        batch8, iters=20) / 8.0
+        batch8, iters=45) / 8.0
+
+    # encryption / decryption / keygen / add, all chained in-jit with the
+    # same two-point slope (see bench_chain).
+    import jax.lax as lax
+    import jax.random as jrandom
+    pt = fhe.encode([5, 10, 15, 20])
+    enc_key = jrandom.PRNGKey(42)
+
+    def bench_keyed(step, iters, lo=5):
+        """Slope-timed chain of `step(key, carry) -> carry`."""
+        def total(it):
+            def body(i, carry):
+                return step(jrandom.fold_in(enc_key, i), carry)
+            g = jax.jit(lambda c: lax.fori_loop(0, it, body, c))
+            z = jnp.zeros((), jnp.uint32)
+            g(z).block_until_ready()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                g(z).block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return max(total(iters) - total(lo), 1e-9) / (iters - lo)
+
+    # encryption (reference headline: ~8 ms at n=8192, README perf table)
+    enc_s = bench_keyed(
+        lambda k, c: bfv.encrypt(
+            fhe.ctx, jrandom.fold_in(k, c), pk, pt).data[0, 0, 0],
+        iters=85)
+
+    # decryption (reference: ~3 ms); carry perturbs c0 slightly (decrypt of a
+    # noisy ct is the same arithmetic)
+    def dec_step(k, c):
+        d = ct1.data.at[0, 0, 0].set(c % jnp.uint32(3))
+        return bfv.decrypt(fhe.ctx, ct1.replace(data=d), sk).data[0]
+    dec_s = bench_keyed(dec_step, iters=85)
+
+    # homomorphic add (reference: ~0.1 ms)
+    add_s = bench_chain(
+        lambda d: bfv.add(fhe.ctx, ct1.replace(data=d), ct2).data,
+        ct1.data, iters=405)
+
+    # keygen (reference: ~100 ms)
+    kg_s = bench_keyed(
+        lambda k, c: bfv.keygen(
+            fhe.ctx, jrandom.fold_in(k, c))[0].data[0, 0, 0],
+        iters=45)
 
     # correctness gate: the benchmark numbers only count if the math is right
     got = fhe.decode(fhe.decrypt(fhe.multiply(ct1, ct2, rlk), sk))
@@ -87,6 +146,7 @@ def main():
     mul_ms = mul_s * 1e3
     ntt_ms = ntt_s * 1e3
     ops_per_s = 1.0 / mul_s
+    slot_count = fhe.slot_count
     result = {
         "metric": "bfv_ct_multiply_relin_n8192_k3",
         "value": round(ops_per_s, 3),
@@ -99,6 +159,16 @@ def main():
             "forward_ntt_ms_batched": round(ntt64_s * 1e3, 4),
             "forward_ntt_vs_baseline": round(BASELINE_NTT_MS / ntt_ms, 3),
             "forward_ntt_vs_baseline_batched": round(BASELINE_NTT_MS / (ntt64_s * 1e3), 3),
+            "encrypt_ms": round(enc_s * 1e3, 4),
+            "encrypt_vs_baseline": round(8.0 / (enc_s * 1e3), 3),
+            "decrypt_ms": round(dec_s * 1e3, 4),
+            "decrypt_vs_baseline": round(3.0 / (dec_s * 1e3), 3),
+            "hom_add_ms": round(add_s * 1e3, 4),
+            "hom_add_vs_baseline": round(0.1 / (add_s * 1e3), 3),
+            "keygen_ms": round(kg_s * 1e3, 4),
+            "keygen_vs_baseline": round(100.0 / (kg_s * 1e3), 3),
+            "simd_values_per_s": round(slot_count / enc_s, 1),
+            "simd_vs_baseline": round((slot_count / enc_s) / 256000.0, 3),
             "device": str(jax.devices()[0]),
             "n": n,
             "rns_primes": params.k,

@@ -78,14 +78,16 @@ def ternary_rns(key, primes_arr, batch: int, n: int,
     if hamming_weight is None:
         v = jax.random.randint(key, (batch, n), -1, 2, dtype=jnp.int32)
         return _small_signed_to_rns(v, primes_arr)
-    k_perm, k_sign = jax.random.split(key)
-    # h nonzeros at random positions with random signs, per batch row
-    base = jnp.arange(n) < hamming_weight            # [n] bool
-    perms = jax.vmap(
-        lambda kk: jax.random.permutation(kk, base)
-    )(jax.random.split(k_perm, batch))               # [batch, n]
-    signs = jax.random.rademacher(k_sign, (batch, n), dtype=jnp.int32)
-    v = jnp.where(perms, signs, 0)
+    k_pos, k_sign = jax.random.split(key)
+    # A uniform random h-subset of positions = the argtop-h of i.i.d. random
+    # keys (TPU-friendly: top_k beats the full sort a permutation would
+    # lower to by ~20x at n = 8192).
+    scores = jax.random.bits(k_pos, (batch, n), dtype=jnp.uint32)
+    _, idx = jax.lax.top_k(scores, hamming_weight)   # [batch, h]
+    signs = jax.random.rademacher(k_sign, (batch, hamming_weight),
+                                  dtype=jnp.int32)
+    v = jnp.zeros((batch, n), jnp.int32)
+    v = jax.vmap(lambda row, i, s: row.at[i].set(s))(v, idx, signs)
     return _small_signed_to_rns(v, primes_arr)
 
 
