@@ -23,7 +23,7 @@ import numpy as np
 import jax
 
 from .params import SecurityParams, SchemeParams, make_scheme_params
-from .scheme import bfv, encoder as _encoder
+from .scheme import bfv, bgv, encoder as _encoder
 from .scheme.context import SchemeContext, make_context
 from .scheme.types import (Ciphertext, GaloisKeys, Plaintext, PublicKey,
                            RelinKeys, SecretKey)
@@ -35,28 +35,33 @@ class FHE:
     except the PRNG counter and the performance monitor)."""
 
     def __init__(self, params: SchemeParams | None = None, seed: int = 0,
-                 **security_kw):
+                 scheme: str = "bfv", **security_kw):
         if params is None:
             params = make_scheme_params(SecurityParams(**security_kw))
+        if scheme not in ("bfv", "bgv"):
+            raise ValueError(f"unknown scheme {scheme!r}; use 'bfv' or 'bgv'")
+        self.scheme_name = scheme
+        mod = bfv if scheme == "bfv" else bgv
+        self._scheme = mod
         self.params = params
         self.ctx: SchemeContext = make_context(params)
         self._key = jax.random.PRNGKey(seed)
         self.encoder = _encoder.BatchEncoder(params)
         self.monitor = PerformanceMonitor()
         # jit caches
-        self._keygen = jax.jit(bfv.keygen)
-        self._relinkey = jax.jit(bfv.relinkey_gen)
-        self._encrypt = jax.jit(bfv.encrypt)
-        self._decrypt = jax.jit(bfv.decrypt)
-        self._add = jax.jit(bfv.add)
-        self._sub = jax.jit(bfv.sub)
-        self._add_plain = jax.jit(bfv.add_plain)
-        self._sub_plain = jax.jit(bfv.sub_plain)
-        self._mul_plain = jax.jit(bfv.multiply_plain)
-        self._multiply = jax.jit(bfv.multiply)
-        self._multiply_no_relin = jax.jit(bfv.multiply_no_relin)
-        self._relinearize = jax.jit(bfv.relinearize)
-        self._mod_switch = jax.jit(bfv.mod_switch_to_next)
+        self._keygen = jax.jit(mod.keygen)
+        self._relinkey = jax.jit(mod.relinkey_gen)
+        self._encrypt = jax.jit(mod.encrypt)
+        self._decrypt = jax.jit(mod.decrypt)
+        self._add = jax.jit(mod.add)
+        self._sub = jax.jit(mod.sub)
+        self._add_plain = jax.jit(mod.add_plain)
+        self._sub_plain = jax.jit(mod.sub_plain)
+        self._mul_plain = jax.jit(mod.multiply_plain)
+        self._multiply = jax.jit(mod.multiply)
+        self._multiply_no_relin = jax.jit(mod.multiply_no_relin)
+        self._relinearize = jax.jit(mod.relinearize)
+        self._mod_switch = jax.jit(mod.mod_switch_to_next)
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -73,7 +78,7 @@ class FHE:
 
     def galoiskey_gen(self, sk: SecretKey, elements=None) -> GaloisKeys:
         with self.monitor.time("galoiskey_gen"):
-            return bfv.galoiskey_gen(self.ctx, self._next_key(), sk, elements)
+            return self._scheme.galoiskey_gen(self.ctx, self._next_key(), sk, elements)
 
     # -- encoding (slot semantics by default; see module docstring) --
     def encode(self, values) -> Plaintext:
@@ -133,21 +138,21 @@ class FHE:
     # -- rotations --
     def rotate_rows(self, ct, steps: int, gal_keys: GaloisKeys):
         with self.monitor.time("rotate"):
-            return bfv.rotate_rows(self.ctx, ct, steps, gal_keys)
+            return self._scheme.rotate_rows(self.ctx, ct, steps, gal_keys)
 
     def rotate_columns(self, ct, gal_keys: GaloisKeys):
-        return bfv.rotate_columns(self.ctx, ct, gal_keys)
+        return self._scheme.rotate_columns(self.ctx, ct, gal_keys)
 
     # -- noise management --
     def mod_switch_to_next(self, ct):
         return self._mod_switch(self.ctx, ct)
 
     def mod_switch_to_level(self, ct, level: int):
-        return bfv.mod_switch_to_level(self.ctx, ct, level)
+        return self._scheme.mod_switch_to_level(self.ctx, ct, level)
 
     def bootstrap(self, ct, sk: SecretKey, pk: PublicKey):
         with self.monitor.time("bootstrap"):
-            return bfv.bootstrap(self.ctx, self._next_key(), ct, sk, pk)
+            return self._scheme.bootstrap(self.ctx, self._next_key(), ct, sk, pk)
 
     def estimate_noise_budget(self, ct, sk: SecretKey) -> float:
-        return bfv.estimate_noise_budget(self.ctx, ct, sk)
+        return self._scheme.estimate_noise_budget(self.ctx, ct, sk)

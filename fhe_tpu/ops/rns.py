@@ -430,6 +430,67 @@ def mod_switch_drop_last(x: jax.Array, mc: ModSwitchConsts) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# BGV modulus switching: drop the last prime with the mod-t correction
+# d = t * [[x * t^-1]]_{q_last} so that d = x (mod q_last) and d = 0 (mod t)
+# ---------------------------------------------------------------------------
+
+
+class BGVModSwitchConsts(NamedTuple):
+    p_keep: jax.Array            # [k-1]
+    q_last: jax.Array            # []
+    inv_t_qlast: jax.Array       # []   t^-1 mod q_last
+    inv_t_qlast_shoup: jax.Array
+    t_mod_keep: jax.Array        # [k-1] t mod p_i (t < p_i so == t)
+    t_shoup_keep: jax.Array      # [k-1]
+    inv_qlast: jax.Array         # [k-1] q_last^-1 mod p_i
+    inv_qlast_shoup: jax.Array
+
+
+def make_bgv_mod_switch(primes_tuple, t: int) -> BGVModSwitchConsts:
+    ps = tuple(int(p) for p in primes_tuple)
+    keep, last = ps[:-1], ps[-1]
+    inv_t = pow(t, -1, last)
+    inv_l = [pow(last, -1, p) for p in keep]
+    return BGVModSwitchConsts(
+        p_keep=jnp.asarray(np.array(keep, dtype=_U)),
+        q_last=jnp.uint32(last),
+        inv_t_qlast=jnp.uint32(inv_t),
+        inv_t_qlast_shoup=jnp.uint32(mm.shoup_precompute(inv_t, last)),
+        t_mod_keep=jnp.asarray(np.array([t % p for p in keep], dtype=_U)),
+        t_shoup_keep=jnp.asarray(_shoup_arr([t % p for p in keep], keep)),
+        inv_qlast=jnp.asarray(np.array(inv_l, dtype=_U)),
+        inv_qlast_shoup=jnp.asarray(_shoup_arr(inv_l, keep)),
+    )
+
+
+def bgv_mod_switch_drop_last(x: jax.Array, mc: BGVModSwitchConsts) -> jax.Array:
+    """[k, B, n] -> [k-1, B, n]: (x - d)/q_last with the d above.  Bit-exact
+    with oracle.BGVOracle.mod_switch_drop_last (per-component)."""
+    x_keep = x[:-1]
+    x_last = x[-1]                                       # [B, n]
+    q_last = mc.q_last
+    # v = [x * t^-1]_{q_last}, then centered: vc in (-q_last/2, q_last/2]
+    v = mm.mul_mod_shoup(x_last, mc.inv_t_qlast, mc.inv_t_qlast_shoup, q_last)
+    pos = (v <= (q_last >> 1))[None, :, :]
+    p = mc.p_keep[:, None, None]
+    v_b = v[None, :, :]
+    v_mod = jnp.where(v_b >= p, v_b - p, v_b)            # v mod p_i (v < 2p)
+    nv = q_last - v_b                                    # |centered| when neg
+    nv_mod = jnp.where(nv >= p, nv - p, nv)
+    # d mod p_i = +- t * |vc| mod p_i
+    d_pos = mm.mul_mod_shoup(v_mod, mc.t_mod_keep[:, None, None],
+                             mc.t_shoup_keep[:, None, None], p)
+    d_neg = mm.neg_mod(
+        mm.mul_mod_shoup(nv_mod, mc.t_mod_keep[:, None, None],
+                         mc.t_shoup_keep[:, None, None], p), p)
+    d = jnp.where(pos, d_pos, d_neg)
+    shifted = mm.sub_mod(x_keep, d, p)
+    return mm.mul_mod_shoup(
+        shifted, mc.inv_qlast[:, None, None], mc.inv_qlast_shoup[:, None, None], p
+    )
+
+
+# ---------------------------------------------------------------------------
 # Host-side big-int <-> RNS (the encode/decode boundary, like the reference's
 # cudaMemcpy paths src/fhe.cu:123-130)
 # ---------------------------------------------------------------------------

@@ -513,6 +513,103 @@ class BFVOracle:
 
 
 # ---------------------------------------------------------------------------
+# BGV oracle (the second scheme of the reference's "BGV/BFV" declaration,
+# include/fhe.cuh module doc / docs/ARCHITECTURE.md "Layer 5: FHE Scheme")
+# ---------------------------------------------------------------------------
+
+
+class BGVOracle(BFVOracle):
+    """Textbook BGV: plaintext in the LSB (phase = m + t*e), multiplication
+    without rescaling, modulus switching with a mod-t correction.
+
+    Shares sampling and ring helpers with BFVOracle; conventions match the
+    device implementation in fhe_tpu/scheme/bgv.py.
+    """
+
+    def keygen(self):
+        """pk = (t*e - a*s, a) so that pk0 + pk1*s = t*e."""
+        s = self.sample_ternary()
+        a = self.sample_uniform()
+        e = self.sample_error_small()
+        pk0 = self._sub([self.t * c % self.q for c in e], self._mul(a, s))
+        return (pk0, a), s
+
+    def sample_error_small(self) -> list[int]:
+        """Signed error as centered ints (not yet reduced), for t*e scaling."""
+        sigma = self.params.security.sigma
+        return [round(self.rng.gauss(0.0, sigma)) for _ in range(self.n)]
+
+    def encrypt(self, pk, m_poly: list[int]):
+        u = self.sample_ternary()
+        e1 = self.sample_error_small()
+        e2 = self.sample_error_small()
+        m = [c % self.t for c in m_poly]
+        c0 = self._add(self._add(self._mul(pk[0], u),
+                                 [self.t * c % self.q for c in e1]), m)
+        c1 = self._add(self._mul(pk[1], u),
+                       [self.t * c % self.q for c in e2])
+        return [c0, c1]
+
+    def decrypt(self, ct, s, scale_t: int = 1) -> list[int]:
+        """scale_t: accumulated mod-switch correction factor (SEAL-style);
+        each dropped prime q_last multiplies the underlying plaintext by
+        q_last^-1 mod t, so decrypt multiplies back by scale_t = prod(dropped)."""
+        x = self.ct_eval_at_s(ct, s)
+        return [center(c, self.q) * scale_t % self.t for c in x]
+
+    def noise_of(self, ct, s, m_poly) -> int:
+        """Infinity norm of t*e where ct(s) = m + t*e (mod q), centered."""
+        x = self.ct_eval_at_s(ct, s)
+        worst = 0
+        for j, c in enumerate(x):
+            v = center((c - (m_poly[j] % self.t)) % self.q, self.q)
+            worst = max(worst, abs(v))
+        return worst
+
+    def multiply_no_relin(self, ca, cb):
+        """Plain tensor product mod q — BGV never rescales in multiply."""
+        assert len(ca) == 2 and len(cb) == 2
+        prods = {}
+        for i in range(2):
+            for j in range(2):
+                prods[(i, j)] = self._mul(ca[i], cb[j])
+        c1 = self._add(prods[(0, 1)], prods[(1, 0)])
+        return [prods[(0, 0)], c1, prods[(1, 1)]]
+
+    def relin_keygen(self, s):
+        """Same RNS-digit gadget as BFV but with t-scaled error."""
+        basis = RNSBasis(self.params.q_primes)
+        s2 = self._mul(s, s)
+        keys = []
+        for jidx in range(len(basis.primes)):
+            w = basis.qhat(jidx) % self.q
+            a = self.sample_uniform()
+            e = self.sample_error_small()
+            b = self._add(self._sub([self.t * c % self.q for c in e],
+                                    self._mul(a, s)),
+                          [w * c % self.q for c in s2])
+            keys.append((b, a))
+        return keys
+
+    def mod_switch_drop_last(self, ct):
+        """ct mod q -> ct' mod q/q_last with phase' = (phase - d)/q_last,
+        d = t*[[c*t^-1]]_{q_last} (centered), so d = phase (mod q_last) and
+        d = 0 (mod t).  The division multiplies the underlying plaintext by
+        q_last^-1 mod t — the caller tracks scale_t *= q_last (see decrypt)."""
+        q_last = self.params.q_primes[-1]
+        q_new = self.q // q_last
+        t_inv = pow(self.t, -1, q_last)
+        out = []
+        for comp in ct:
+            new_comp = []
+            for c in comp:
+                d = self.t * center(c * t_inv % q_last, q_last)
+                new_comp.append((c - d) // q_last % q_new)
+            out.append(new_comp)
+        return out
+
+
+# ---------------------------------------------------------------------------
 # Slot (SIMD) encoding oracle, mod t (BatchEncoder ground truth)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,330 @@
+"""BGV scheme on device — the second scheme of the reference's "BGV/BFV"
+declaration (``include/fhe.cuh`` module docs, ``docs/ARCHITECTURE.md``
+"Layer 5: FHE Scheme (BGV/BFV)"; the reference only ever implemented the BFV
+formulas, this module supplies real BGV).
+
+BGV places the plaintext in the least-significant position of the phase:
+
+    phase = c0 + c1*s = m + t*e   (mod q)
+
+so encryption adds ``t*e`` noise, multiplication is a *plain* tensor product
+mod q (no rescaling — contrast BFV's BEHZ t/q scaling), decryption is the
+exact centered reduction ``[phase]_q mod t`` (implemented with the BEHZ
+m_tilde machinery, ops/rns.sm_mrq with destination base {t}), and noise is
+managed by modulus switching with a mod-t correction
+(ops/rns.bgv_mod_switch_drop_last).  Each dropped prime divides the
+underlying plaintext by ``q_last mod t``; ciphertexts track the accumulated
+``scale_t`` correction factor (SEAL-style) and decrypt multiplies it back.
+
+Everything scheme-agnostic (key switching, Galois rotations, phase
+computation, NTT-domain plumbing) is reused from scheme/bfv.py — the key
+material has the same RNS-gadget shape, only the error term is t-scaled.
+
+Bit-exact against fhe_tpu.oracle.BGVOracle (tests/test_bgv_scheme.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as _ntt
+from ..ops import rns as _rns
+from ..ops import sampling
+from .context import SchemeContext
+from .types import (Ciphertext, GaloisKeys, Plaintext, PublicKey, RelinKeys,
+                    SecretKey)
+from . import bfv as _bfv
+from .bfv import (_fwd_q, _inv_q, _lift_plain, _p3, _phase, _tb, to_coeff,
+                  to_ntt)
+
+# re-exported scheme-agnostic ops (identical math for BGV key material)
+key_switch = _bfv.key_switch
+apply_galois = _bfv.apply_galois
+
+
+def _t_scale(ctx: SchemeContext, e: jax.Array, level: int = 0) -> jax.Array:
+    """t * e mod q_i on [k, B, n] residues."""
+    tb = _tb(ctx, level)
+    t = jnp.uint32(ctx.params.t)
+    return mm.mul_mod_barrett(e, t, _p3(tb), tb.mu[:, None, None])
+
+
+def _fresh_noise_budget(ctx: SchemeContext) -> float:
+    """log2(q/2) - log2(t * ||e_fresh||): BGV noise is t-scaled from birth."""
+    p = ctx.params
+    v = 6.0 * p.security.sigma * (1 + 2 * p.security.hamming_weight)
+    return max(0.0, math.log2(p.q / 2.0) - math.log2(p.t) - math.log2(max(v, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# key generation
+# ---------------------------------------------------------------------------
+
+
+def keygen(ctx: SchemeContext, key: jax.Array) -> tuple[PublicKey, SecretKey]:
+    """pk = (t*e - a*s, a) in NTT form, so pk0 + pk1*s = t*e."""
+    p = ctx.params
+    tb = ctx.ntt_q
+    k_s, k_a, k_e = jax.random.split(key, 3)
+    s = sampling.ternary_rns(k_s, tb.p, 1, p.n, p.security.hamming_weight)
+    a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, p.n)
+    e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, p.n)
+    s_ntt = _fwd_q(ctx, s)
+    a_ntt = _fwd_q(ctx, a)
+    te_ntt = _fwd_q(ctx, _t_scale(ctx, e))
+    b_ntt = mm.sub_mod(te_ntt, _ntt.pointwise_mul(a_ntt, s_ntt, tb), _p3(tb))
+    return PublicKey(data=jnp.concatenate([b_ntt, a_ntt], axis=1)), \
+        SecretKey(data=s_ntt)
+
+
+def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
+                      target_ntt: jax.Array) -> jax.Array:
+    """Same RNS-digit gadget as bfv._keyswitch_keygen with t-scaled error."""
+    p = ctx.params
+    tb = ctx.ntt_q
+    k = ctx.k
+    q = p.q
+    w = np.zeros((k, k), dtype=np.uint32)
+    for j, pj in enumerate(p.q_primes):
+        for i, pi in enumerate(p.q_primes):
+            w[j, i] = (q // pj) % pi
+    w = jnp.asarray(w)
+    keys = []
+    for j in range(k):
+        key, k_a, k_e = jax.random.split(key, 3)
+        a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, p.n)
+        e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, p.n)
+        a_ntt = _fwd_q(ctx, a)
+        te_ntt = _fwd_q(ctx, _t_scale(ctx, e))
+        w_target = mm.mul_mod_barrett(
+            w[j][:, None, None], target_ntt, _p3(tb), tb.mu[:, None, None])
+        b_ntt = mm.add_mod(
+            mm.sub_mod(te_ntt, _ntt.pointwise_mul(a_ntt, sk.data, tb), _p3(tb)),
+            w_target, _p3(tb))
+        keys.append(jnp.concatenate([b_ntt, a_ntt], axis=1))
+    return jnp.stack(keys)
+
+
+def relinkey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey) -> RelinKeys:
+    tb = ctx.ntt_q
+    s2 = _ntt.pointwise_mul(sk.data, sk.data, tb)
+    return RelinKeys(data=_keyswitch_keygen(ctx, key, sk, s2))
+
+
+def galoiskey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
+                  elements=None) -> GaloisKeys:
+    tb = ctx.ntt_q
+    elements = tuple(elements) if elements is not None else tuple(
+        ctx.galois_src.keys())
+    s_coeff = _inv_q(ctx, sk.data)
+    out = {}
+    for g in elements:
+        key, sub = jax.random.split(key)
+        s_g = _bfv._apply_galois_coeff(ctx, s_coeff, g)
+        out[g] = _keyswitch_keygen(ctx, sub, sk, _fwd_q(ctx, s_g))
+    return GaloisKeys(data=out)
+
+
+# ---------------------------------------------------------------------------
+# encrypt / decrypt
+# ---------------------------------------------------------------------------
+
+
+def encrypt(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
+            pt: Plaintext) -> Ciphertext:
+    """ct = (pk0*u + t*e1 + m, pk1*u + t*e2), coefficient domain."""
+    p = ctx.params
+    tb = ctx.ntt_q
+    k_u, k_e1, k_e2 = jax.random.split(key, 3)
+    u = sampling.ternary_rns(k_u, tb.p, 1, p.n, p.security.hamming_weight)
+    e1 = sampling.gaussian_rns(k_e1, tb.p, p.security.sigma, 1, p.n)
+    e2 = sampling.gaussian_rns(k_e2, tb.p, p.security.sigma, 1, p.n)
+    u_ntt = _fwd_q(ctx, u)
+    pk_u = _inv_q(ctx, _ntt.pointwise_mul(
+        jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb))
+    c0 = mm.add_mod(
+        mm.add_mod(pk_u[:, :1], _t_scale(ctx, e1), _p3(tb)),
+        _lift_plain(ctx, pt), _p3(tb))
+    c1 = mm.add_mod(pk_u[:, 1:], _t_scale(ctx, e2), _p3(tb))
+    return Ciphertext(
+        data=jnp.concatenate([c0, c1], axis=1),
+        level=0, is_ntt_form=False, scale_t=1,
+        noise_budget=_fresh_noise_budget(ctx),
+    )
+
+
+def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
+    """m = [phase]_q mod t (exact centered reduction via sm_mrq with dst {t}),
+    times the accumulated scale_t correction."""
+    x = _phase(ctx, ct, sk)                              # [k, n]
+    m = _rns.sm_mrq(x[:, None, :], ctx.bgv_dec_levels[ct.level])[0, 0]  # [n]
+    if ct.scale_t != 1:
+        s = np.uint32(ct.scale_t % ctx.params.t)
+        m = mm.mul_mod_fermat16(m, s)
+    return Plaintext(data=m)
+
+
+# ---------------------------------------------------------------------------
+# additive / plain ops
+# ---------------------------------------------------------------------------
+
+
+def _check_compat(a: Ciphertext, b: Ciphertext):
+    _bfv._check_compat(a, b)
+    if a.scale_t != b.scale_t:
+        raise ValueError(
+            f"BGV scale_t mismatch ({a.scale_t} vs {b.scale_t}): "
+            "mod-switch both operands to the same level first")
+
+
+def add(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compat(a, b)
+    return _bfv.add(ctx, a, b)
+
+
+def sub(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compat(a, b)
+    return _bfv.sub(ctx, a, b)
+
+
+def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    """c0 += m (no Delta scaling — BGV plaintext sits in the LSB)."""
+    assert ct.level == 0 and ct.scale_t == 1, \
+        "plain ops at level 0 / unit scale"
+    ct = to_coeff(ctx, ct)
+    p = _p3(ctx.ntt_q)
+    c0 = mm.add_mod(ct.data[:, :1], _lift_plain(ctx, pt), p)
+    return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
+
+
+def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    assert ct.level == 0 and ct.scale_t == 1, \
+        "plain ops at level 0 / unit scale"
+    ct = to_coeff(ctx, ct)
+    p = _p3(ctx.ntt_q)
+    c0 = mm.sub_mod(ct.data[:, :1], _lift_plain(ctx, pt), p)
+    return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
+
+
+def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    """c_i *= m — identical arithmetic to BFV's (phase scales by m either way)."""
+    return _bfv.multiply_plain(ctx, ct, pt)
+
+
+# ---------------------------------------------------------------------------
+# multiply + relinearize
+# ---------------------------------------------------------------------------
+
+
+def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """Plain tensor product mod q — no rescaling (BGV's defining contrast to
+    BFV's BEHZ pipeline).  Noise multiplies; manage with mod_switch_to_next."""
+    if a.level != b.level:
+        raise ValueError("ciphertext level mismatch")
+    if a.scale_t != b.scale_t:
+        raise ValueError("BGV scale_t mismatch")
+    tb = _tb(ctx, a.level)
+    p = _p3(tb)
+    af = to_ntt(ctx, a).data
+    bf = to_ntt(ctx, b).data
+    c0 = _ntt.pointwise_mul(af[:, :1], bf[:, :1], tb)
+    c2 = _ntt.pointwise_mul(af[:, 1:], bf[:, 1:], tb)
+    c1 = mm.add_mod(
+        _ntt.pointwise_mul(af[:, :1], bf[:, 1:], tb),
+        _ntt.pointwise_mul(af[:, 1:], bf[:, :1], tb), p)
+    data = _inv_q(ctx, jnp.concatenate([c0, c1, c2], axis=1), a.level)
+    # noise_budget: |v1*v2| roughly adds the consumed bits of both operands
+    fresh = _fresh_noise_budget(ctx)
+    consumed = (fresh - a.noise_budget) + (fresh - b.noise_budget)
+    log_n = math.log2(ctx.n)
+    return Ciphertext(
+        data=data, level=a.level, is_ntt_form=False,
+        scale_t=(a.scale_t * b.scale_t) % ctx.params.t,
+        noise_budget=max(0.0, fresh - consumed - math.log2(ctx.params.t)
+                         - log_n),
+    )
+
+
+def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
+    """Identical inner-product key switch to BFV (keys carry t-scaled error,
+    so the added term is ≡ 0 mod t as BGV requires)."""
+    return _bfv.relinearize(ctx, ct, rlk)
+
+
+def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
+             rlk: RelinKeys) -> Ciphertext:
+    return relinearize(ctx, multiply_no_relin(ctx, a, b), rlk)
+
+
+# ---------------------------------------------------------------------------
+# rotations (scheme-agnostic given BGV Galois keys)
+# ---------------------------------------------------------------------------
+
+
+def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
+                gal_keys: GaloisKeys) -> Ciphertext:
+    return _bfv.rotate_rows(ctx, ct, steps, gal_keys)
+
+
+def rotate_columns(ctx: SchemeContext, ct: Ciphertext,
+                   gal_keys: GaloisKeys) -> Ciphertext:
+    return _bfv.rotate_columns(ctx, ct, gal_keys)
+
+
+# ---------------------------------------------------------------------------
+# modulus switching / bootstrap / noise
+# ---------------------------------------------------------------------------
+
+
+def mod_switch_to_next(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
+    """Drop the last prime with the mod-t correction; this is BGV's primary
+    noise-management tool (divides noise by ~q_last)."""
+    ct = to_coeff(ctx, ct)
+    if ct.level >= ctx.k - 1:
+        raise ValueError("already at the last level")
+    mc = ctx.bgv_mod_switch[ct.level]
+    new = _rns.bgv_mod_switch_drop_last(ct.data, mc)
+    q_last = int(ctx.params.q_primes[ctx.k - 1 - ct.level])
+    # noise divides by q_last but q also shrinks by q_last: budget roughly
+    # preserved minus the rounding term ~log2(t*n)
+    return ct.replace(
+        data=new, level=ct.level + 1,
+        scale_t=(ct.scale_t * q_last) % ctx.params.t,
+        noise_budget=max(0.0, ct.noise_budget - 1.0))
+
+
+def mod_switch_to_level(ctx: SchemeContext, ct: Ciphertext, target: int) -> Ciphertext:
+    while ct.level < target:
+        ct = mod_switch_to_next(ctx, ct)
+    return ct
+
+
+def bootstrap(ctx: SchemeContext, key: jax.Array, ct: Ciphertext,
+              sk: SecretKey, pk: PublicKey) -> Ciphertext:
+    """Recrypt-style refresh (the reference's declared sk-taking contract)."""
+    pt = decrypt(ctx, ct, sk)
+    return encrypt(ctx, key, pk, pt)
+
+
+def estimate_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> float:
+    """log2(q/2) - log2(||phase - m||_inf), host-side CRT diagnostic."""
+    p = ctx.params
+    primes_l = p.q_primes[: ctx.k - ct.level]
+    q = math.prod(primes_l)
+    x = np.asarray(_phase(ctx, ct, sk))
+    m_scaled = np.asarray(decrypt(ctx, ct, sk).data)      # true m
+    inv_scale = pow(ct.scale_t, -1, p.t) if ct.scale_t != 1 else 1
+    coeffs = _rns.from_rns_host(x, primes_l)
+    worst = 1
+    for j, c in enumerate(coeffs):
+        m_raw = int(m_scaled[j]) * inv_scale % p.t       # m as the phase holds it
+        v = (c - m_raw) % q
+        if v > q // 2:
+            v = q - v
+        worst = max(worst, v)
+    return max(0.0, math.log2(q / 2.0) - math.log2(worst))

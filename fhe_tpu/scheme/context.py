@@ -61,6 +61,11 @@ class SchemeContext:
     # per-level decryption constants (q shrinks with level)
     dec_levels: tuple[_rns.DecryptConsts, ...]
 
+    # BGV companions (scheme/bgv.py): exact centered reduction q_level -> {t}
+    # for decryption, and the t-corrected modulus switch
+    bgv_dec_levels: tuple[_rns.SmMRqConsts, ...]
+    bgv_mod_switch: tuple[_rns.BGVModSwitchConsts, ...]
+
     # Galois automorphism gather tables: g -> (src index [n], negate flag [n])
     galois_src: dict[int, jax.Array]
     galois_neg: dict[int, jax.Array]
@@ -136,11 +141,16 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
     n = params.n
     mod_switch = []
     dec_levels = []
+    bgv_dec_levels = []
+    bgv_mod_switch = []
     chain = params.q_primes
     while len(chain) >= 1:
         dec_levels.append(_rns.make_decrypt(chain, params.t, params.gamma))
+        bgv_dec_levels.append(
+            _rns.make_sm_mrq(chain, (params.t,), params.m_tilde))
         if len(chain) >= 2:
             mod_switch.append(_rns.make_mod_switch(chain))
+            bgv_mod_switch.append(_rns.make_bgv_mod_switch(chain, params.t))
         chain = chain[:-1]
     galois_src = {}
     galois_neg = {}
@@ -165,6 +175,8 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
         inv_qhat_shoup=jnp.asarray(host["inv_qhat_shoup"]),
         mod_switch=tuple(mod_switch),
         dec_levels=tuple(dec_levels),
+        bgv_dec_levels=tuple(bgv_dec_levels),
+        bgv_mod_switch=tuple(bgv_mod_switch),
         galois_src=galois_src,
         galois_neg=galois_neg,
     )

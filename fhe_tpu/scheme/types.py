@@ -32,6 +32,10 @@ class Ciphertext:
     level: int = flax.struct.field(pytree_node=False, default=0)
     is_ntt_form: bool = flax.struct.field(pytree_node=False, default=False)
     noise_budget: float = flax.struct.field(pytree_node=False, default=0.0)
+    # BGV correction factor (SEAL-style): each mod-switch divides the
+    # underlying plaintext by q_last mod t; decrypt multiplies back by
+    # scale_t = prod(dropped primes) mod t.  Always 1 for BFV.
+    scale_t: int = flax.struct.field(pytree_node=False, default=1)
 
     @property
     def num_components(self) -> int:
