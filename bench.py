@@ -128,16 +128,30 @@ def main():
         return bfv.decrypt(fhe.ctx, ct1.replace(data=d), sk).data[0]
     dec_s = bench_keyed(dec_step, iters=85)
 
-    # homomorphic add (reference: ~0.1 ms)
-    add_s = bench_chain(
+    # homomorphic add (reference: ~0.1 ms).  A single add is ~1 us, far below
+    # the RPC noise floor, so the slope needs thousands of iterations.
+    add_s = max(bench_chain(
         lambda d: bfv.add(fhe.ctx, ct1.replace(data=d), ct2).data,
-        ct1.data, iters=405)
+        ct1.data, iters=4005, lo=105), 1e-7)
 
     # keygen (reference: ~100 ms)
     kg_s = bench_keyed(
         lambda k, c: bfv.keygen(
             fhe.ctx, jrandom.fold_in(k, c))[0].data[0, 0, 0],
         iters=45)
+
+    # modmul roofline: sustained mul_mod_shoup elementwise throughput on a
+    # large resident tensor vs the VPU integer-multiply peak.  One Shoup
+    # modmul = 4 32-bit multiplies (3 low via 16-bit limbs in XLA's int mul
+    # lowering count as 1 vector op each + 1 mulhi = 4 muls) + 3 cheap ops.
+    from fhe_tpu.ops import modmath as mmx
+    big_x = jnp.tile(ct1.data[:, :1, :], (1, 256, 1))      # [3, 256, 8192]
+    w = fhe.ctx.ntt_q.psi_br[:, None, :1]
+    ws = fhe.ctx.ntt_q.psi_br_shoup[:, None, :1]
+    p3 = fhe.ctx.ntt_q.p[:, None, None]
+    modmul_s = bench_chain(
+        lambda v: mmx.mul_mod_shoup(v, w, ws, p3), big_x, iters=205)
+    modmuls_per_s = big_x.size / modmul_s
 
     # correctness gate: the benchmark numbers only count if the math is right
     got = fhe.decode(fhe.decrypt(fhe.multiply(ct1, ct2, rlk), sk))
@@ -169,6 +183,8 @@ def main():
             "keygen_vs_baseline": round(100.0 / (kg_s * 1e3), 3),
             "simd_values_per_s": round(slot_count / enc_s, 1),
             "simd_vs_baseline": round((slot_count / enc_s) / 256000.0, 3),
+            "modmul_per_s": round(modmuls_per_s, 1),
+            "modmul_gops": round(modmuls_per_s / 1e9, 3),
             "device": str(jax.devices()[0]),
             "n": n,
             "rns_primes": params.k,

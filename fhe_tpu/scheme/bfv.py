@@ -110,14 +110,16 @@ def _lift_plain(ctx: SchemeContext, pt: Plaintext, level: int = 0) -> jax.Array:
     return jnp.broadcast_to(pt.data[None, None, :], (k, 1, ctx.n)).astype(jnp.uint32)
 
 
-def _scale_by_delta(ctx: SchemeContext, pt: Plaintext) -> jax.Array:
-    """Delta * m as residues [k, 1, n] (encrypt path, src/fhe.cu:156)."""
-    lifted = _lift_plain(ctx, pt)
+def _scale_by_delta(ctx: SchemeContext, pt: Plaintext, level: int = 0) -> jax.Array:
+    """Delta_L * m as residues [k-L, 1, n] (encrypt path, src/fhe.cu:156);
+    Delta_L = floor(q_L/t) at the ciphertext's level."""
+    lifted = _lift_plain(ctx, pt, level)
+    delta, delta_sh = ctx.delta_levels[level]
     return mm.mul_mod_shoup(
         lifted,
-        ctx.delta_mod_q[:, None, None],
-        ctx.delta_shoup[:, None, None],
-        _p3(ctx.ntt_q),
+        delta[:, None, None],
+        delta_sh[:, None, None],
+        _p3(_tb(ctx, level)),
     )
 
 
@@ -289,28 +291,25 @@ def sub(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 
 
 def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    """c0 += Delta * m (slot/coeff semantics preserved)."""
-    assert ct.level == 0, "plain ops currently supported at level 0"
+    """c0 += Delta_L * m (slot/coeff semantics preserved, any level)."""
     ct = to_coeff(ctx, ct)
-    p = _p3(ctx.ntt_q)
-    c0 = mm.add_mod(ct.data[:, :1], _scale_by_delta(ctx, pt), p)
+    p = _p3(_tb(ctx, ct.level))
+    c0 = mm.add_mod(ct.data[:, :1], _scale_by_delta(ctx, pt, ct.level), p)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
 def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    assert ct.level == 0, "plain ops currently supported at level 0"
     ct = to_coeff(ctx, ct)
-    p = _p3(ctx.ntt_q)
-    c0 = mm.sub_mod(ct.data[:, :1], _scale_by_delta(ctx, pt), p)
+    p = _p3(_tb(ctx, ct.level))
+    c0 = mm.sub_mod(ct.data[:, :1], _scale_by_delta(ctx, pt, ct.level), p)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
 def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
     """c_i *= m (negacyclic), no rescale: ct(s)*m = Delta*(m1*m) + v*m."""
-    assert ct.level == 0, "plain ops currently supported at level 0"
-    tb = ctx.ntt_q
+    tb = _tb(ctx, ct.level)
     ct_ntt = to_ntt(ctx, ct)
-    pt_ntt = _fwd_q(ctx, _lift_plain(ctx, pt))
+    pt_ntt = _fwd_q(ctx, _lift_plain(ctx, pt, ct.level), ct.level)
     data = _ntt.pointwise_mul(
         ct_ntt.data, jnp.broadcast_to(pt_ntt, ct_ntt.data.shape), tb)
     out = ct_ntt.replace(
@@ -326,18 +325,22 @@ def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphert
 
 
 def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-    """BEHZ RNS tensor product + t/q scaling -> 3-component ciphertext.
+    """BEHZ RNS tensor product + t/q_L scaling -> 3-component ciphertext,
+    at any level (per-level BEHZ constants from the context).
 
-    Bit-exact with oracle.behz_multiply_no_relin.  Replaces the reference's
-    multiply (src/fhe.cu:199-224) whose scaling step didn't exist."""
-    assert a.level == 0 and b.level == 0, "multiply at level 0"
+    Bit-exact with oracle.behz_multiply_no_relin at level 0.  Replaces the
+    reference's multiply (src/fhe.cu:199-224) whose scaling step didn't exist."""
+    if a.level != b.level:
+        raise ValueError("ciphertext level mismatch")
+    level = a.level
     a = to_coeff(ctx, a)
     b = to_coeff(ctx, b)
-    tb_q, tb_bsk = ctx.ntt_q, ctx.ntt_bsk
+    tb_q, tb_bsk = _tb(ctx, level), ctx.ntt_bsk
 
     # Step 1: centered lift of all 4 components into Bsk.
-    lift_a = _rns.sm_mrq(a.data, ctx.smq)   # [l+1, 2, n]
-    lift_b = _rns.sm_mrq(b.data, ctx.smq)
+    smq = ctx.smq_levels[level]
+    lift_a = _rns.sm_mrq(a.data, smq)   # [l+1, 2, n]
+    lift_b = _rns.sm_mrq(b.data, smq)
 
     # Step 2: tensor products in both bases via NTT.
     def tensor(x, y, tb, fwd, inv):
@@ -353,7 +356,9 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
         )
         return inv(ctx, jnp.concatenate([c0, c1, c2], axis=1))
 
-    tens_q = tensor(a.data, b.data, tb_q, _fwd_q, _inv_q)          # [k, 3, n]
+    tens_q = tensor(a.data, b.data, tb_q,
+                    lambda c, x: _fwd_q(c, x, level),
+                    lambda c, x: _inv_q(c, x, level))              # [k-L, 3, n]
     tens_bsk = tensor(lift_a, lift_b, tb_bsk, _fwd_bsk, _inv_bsk)  # [l+1, 3, n]
 
     # Step 3: scale by t and FastFloor into Bsk.
@@ -364,54 +369,87 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     tx_bsk = mm.mul_mod_barrett(
         tens_bsk, jnp.broadcast_to(t_mod_q, tens_bsk.shape), _p3(tb_bsk),
         tb_bsk.mu[:, None, None])
-    floored = _rns.fast_floor(tx_q, tx_bsk, ctx.floor_c)  # [l+1, 3, n]
+    floored = _rns.fast_floor(tx_q, tx_bsk, ctx.floor_levels[level])
 
-    # Step 4: exact conversion back to q.
-    out = _rns.fast_bconv_sk(floored, ctx.sk_c)  # [k, 3, n]
+    # Step 4: exact conversion back to q_L.
+    out = _rns.fast_bconv_sk(floored, ctx.sk_levels[level])  # [k-L, 3, n]
     nb = min(a.noise_budget, b.noise_budget)
     return Ciphertext(
-        data=out, level=0, is_ntt_form=False,
+        data=out, level=level, is_ntt_form=False,
         noise_budget=max(0.0, nb - math.log2(ctx.n) - 16.0 - 6.0),
     )
 
 
-def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
-    """3 -> 2 components via RNS-digit key switching (real implementation;
-    the reference's relinearize just truncated, src/fhe.cu:226-235)."""
-    assert ct.num_components == 3 and ct.level == 0
+def _switch_keys_down(ctx: SchemeContext, ks_keys: jax.Array, level: int,
+                      bgv: bool = False) -> jax.Array:
+    """Mod-switch level-0 key-switching keys to a deeper level.
+
+    key_j encrypts (q/q_j)*target mod q; rounding-switching it down L primes
+    yields an encryption of exactly (q_L/q_j)*target mod q_L (the gadget
+    coefficient divides exactly for the surviving digits j < k-L) plus small
+    rounding noise.  For BGV keys the t-corrected switch preserves the
+    t*e error structure.  Input/output NTT form; [k,k,2,n] -> [k-L,k-L,2,n]."""
+    if level == 0:
+        return ks_keys
+    k = ctx.k
+    kl = k - level
+    # ks_keys is [digit j, prime i, 2, n]; keep the surviving digits j < k-L
+    # and put the prime axis first for the RNS switch: [k_primes, kl*2, n]
+    flat = jnp.transpose(ks_keys[:kl], (1, 0, 2, 3)).reshape(k, kl * 2, ctx.n)
+    coeff = _inv_q(ctx, flat)
+    for lvl in range(level):
+        mc = ctx.bgv_mod_switch[lvl] if bgv else ctx.mod_switch[lvl]
+        coeff = (_rns.bgv_mod_switch_drop_last(coeff, mc) if bgv
+                 else _rns.mod_switch_drop_last(coeff, mc))
+    switched = _fwd_q(ctx, coeff, level)               # [k-L, kl*2, n]
+    return jnp.transpose(
+        switched.reshape(kl, kl, 2, ctx.n), (1, 0, 2, 3))
+
+
+def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys,
+                bgv: bool = False) -> Ciphertext:
+    """3 -> 2 components via RNS-digit key switching at any level (real
+    implementation; the reference's relinearize just truncated,
+    src/fhe.cu:226-235)."""
+    assert ct.num_components == 3
+    level = ct.level
     ct = to_coeff(ctx, ct)
-    c2 = ct.data[:, 2]  # [k, n]
-    acc0, acc1 = _keyswitch_inner(ctx, c2, rlk.data)
-    tb = ctx.ntt_q
+    c2 = ct.data[:, 2]  # [k-L, n]
+    keys = _switch_keys_down(ctx, rlk.data, level, bgv)
+    acc0, acc1 = _keyswitch_inner(ctx, c2, keys, level)
+    tb = _tb(ctx, level)
     p = _p3(tb)
-    delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1))
+    delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
     out = mm.add_mod(ct.data[:, :2], delta, p)
     return ct.replace(data=out, noise_budget=max(0.0, ct.noise_budget - 2.0))
 
 
-def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array):
+def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
+                     level: int = 0):
     """Key-switch inner product: sum_j NTT(D_j) * key_j over RNS digits.
 
-    poly: [k, n] coeff domain (the component being switched).
-    ks_keys: [k, k, 2, n] NTT form.  Returns (acc0, acc1) each [k, 1, n] NTT.
+    poly: [k-L, n] coeff domain (the component being switched).
+    ks_keys: [k-L, k-L, 2, n] NTT form at the same level.
+    Returns (acc0, acc1) each [k-L, 1, n] NTT.
 
     The psum over digits is the collective the multi-chip path distributes
     (SURVEY.md §2 parallelism table, key-switch inner products)."""
-    tb = ctx.ntt_q
-    k = ctx.k
+    tb = _tb(ctx, level)
+    k = ctx.k - level
     p = _p3(tb)
-    # digits: D_j = [poly_j * (q/q_j)^-1]_{q_j}  -> [k, n]
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
+    # digits: D_j = [poly_j * (q_L/q_j)^-1]_{q_j}  -> [k-L, n]
     d = mm.mul_mod_shoup(
-        poly, ctx.inv_qhat[:, None], ctx.inv_qhat_shoup[:, None], tb.p[:, None])
+        poly, inv_qhat[:, None], inv_qhat_sh[:, None], tb.p[:, None])
     # broadcast digit j to every prime i (reduce D_j mod q_i), NTT once:
     # [k_primes, k_digits, n]
     d_all = mm.barrett_reduce_u32(
         d[None, :, :], tb.p[:, None, None], tb.mu[:, None, None])
-    d_ntt = _fwd_q(ctx, d_all)  # digits as batch axis
+    d_ntt = _fwd_q(ctx, d_all, level)  # digits as batch axis
     acc0 = None
     acc1 = None
     for j in range(k):
-        dj = d_ntt[:, j:j + 1]  # [k, 1, n]
+        dj = d_ntt[:, j:j + 1]  # [k-L, 1, n]
         t0 = _ntt.pointwise_mul(dj, ks_keys[j, :, 0:1], tb)
         t1 = _ntt.pointwise_mul(dj, ks_keys[j, :, 1:2], tb)
         acc0 = t0 if acc0 is None else mm.add_mod(acc0, t0, p)
@@ -431,15 +469,19 @@ def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
 # ---------------------------------------------------------------------------
 
 
-def key_switch(ctx: SchemeContext, ct: Ciphertext, ks_keys: jax.Array) -> Ciphertext:
+def key_switch(ctx: SchemeContext, ct: Ciphertext, ks_keys: jax.Array,
+               bgv: bool = False) -> Ciphertext:
     """Switch a 2-component ct encrypted under s' to one under s, where
-    ks_keys encrypt (q/q_j)*s' (reference decl include/fhe.cuh:134-135)."""
-    assert ct.num_components == 2 and ct.level == 0
+    ks_keys encrypt (q/q_j)*s' (reference decl include/fhe.cuh:134-135).
+    Level-0 keys are switched down automatically for deeper ciphertexts."""
+    assert ct.num_components == 2
+    level = ct.level
     ct = to_coeff(ctx, ct)
-    tb = ctx.ntt_q
+    tb = _tb(ctx, level)
     p = _p3(tb)
-    acc0, acc1 = _keyswitch_inner(ctx, ct.data[:, 1], ks_keys)
-    delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1))
+    keys = _switch_keys_down(ctx, ks_keys, level, bgv)
+    acc0, acc1 = _keyswitch_inner(ctx, ct.data[:, 1], keys, level)
+    delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
     c0 = mm.add_mod(ct.data[:, :1], delta[:, :1], p)
     return ct.replace(data=jnp.concatenate([c0, delta[:, 1:]], axis=1))
 
@@ -454,18 +496,18 @@ def _apply_galois_coeff(ctx: SchemeContext, data: jax.Array, g: int) -> jax.Arra
 
 
 def apply_galois(ctx: SchemeContext, ct: Ciphertext, g: int,
-                 gal_keys: GaloisKeys) -> Ciphertext:
+                 gal_keys: GaloisKeys, bgv: bool = False) -> Ciphertext:
     """Automorphism + key switch (building block of rotate_rows/columns)."""
-    assert ct.num_components == 2 and ct.level == 0
+    assert ct.num_components == 2
     ct = to_coeff(ctx, ct)
     permuted = _apply_galois_coeff(ctx, ct.data, g)
     tmp = ct.replace(data=permuted)
-    return key_switch(ctx, tmp, gal_keys.data[g]).replace(
+    return key_switch(ctx, tmp, gal_keys.data[g], bgv).replace(
         noise_budget=max(0.0, ct.noise_budget - 2.0))
 
 
 def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
-                gal_keys: GaloisKeys) -> Ciphertext:
+                gal_keys: GaloisKeys, bgv: bool = False) -> Ciphertext:
     """Cyclic slot rotation within each row of the 2 x (n/2) slot matrix
     (reference decl include/fhe.cuh:113-114).  Decomposes |steps| into the
     power-of-two Galois elements the default keys cover."""
@@ -481,16 +523,16 @@ def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
             g = pow(3, bit, m)
             if g not in gal_keys.data:
                 raise KeyError(f"no galois key for element {g} (step {bit})")
-            ct = apply_galois(ctx, ct, g, gal_keys)
+            ct = apply_galois(ctx, ct, g, gal_keys, bgv)
             steps ^= bit
         bit <<= 1
     return ct
 
 
 def rotate_columns(ctx: SchemeContext, ct: Ciphertext,
-                   gal_keys: GaloisKeys) -> Ciphertext:
+                   gal_keys: GaloisKeys, bgv: bool = False) -> Ciphertext:
     """Swap the two slot rows: g = 2n - 1 (reference decl include/fhe.cuh:115-116)."""
-    return apply_galois(ctx, ct, 2 * ctx.n - 1, gal_keys)
+    return apply_galois(ctx, ct, 2 * ctx.n - 1, gal_keys, bgv)
 
 
 # ---------------------------------------------------------------------------

@@ -192,22 +192,29 @@ def sub(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     return _bfv.sub(ctx, a, b)
 
 
+def _pt_for_scale(ctx: SchemeContext, pt: Plaintext, scale_t: int) -> Plaintext:
+    """The ciphertext's raw plaintext is m*scale_t^-1; a plain operand must be
+    pre-divided by scale_t so the sum decrypts to m_ct + m_pt."""
+    if scale_t == 1:
+        return pt
+    inv = np.uint32(pow(scale_t, -1, ctx.params.t))
+    return pt.replace(data=mm.mul_mod_fermat16(pt.data, inv))
+
+
 def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    """c0 += m (no Delta scaling — BGV plaintext sits in the LSB)."""
-    assert ct.level == 0 and ct.scale_t == 1, \
-        "plain ops at level 0 / unit scale"
+    """c0 += m (no Delta scaling — BGV plaintext sits in the LSB); any level."""
     ct = to_coeff(ctx, ct)
-    p = _p3(ctx.ntt_q)
-    c0 = mm.add_mod(ct.data[:, :1], _lift_plain(ctx, pt), p)
+    pt = _pt_for_scale(ctx, pt, ct.scale_t)
+    p = _p3(_tb(ctx, ct.level))
+    c0 = mm.add_mod(ct.data[:, :1], _lift_plain(ctx, pt, ct.level), p)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
 def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    assert ct.level == 0 and ct.scale_t == 1, \
-        "plain ops at level 0 / unit scale"
     ct = to_coeff(ctx, ct)
-    p = _p3(ctx.ntt_q)
-    c0 = mm.sub_mod(ct.data[:, :1], _lift_plain(ctx, pt), p)
+    pt = _pt_for_scale(ctx, pt, ct.scale_t)
+    p = _p3(_tb(ctx, ct.level))
+    c0 = mm.sub_mod(ct.data[:, :1], _lift_plain(ctx, pt, ct.level), p)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
@@ -252,8 +259,9 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
 
 def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
     """Identical inner-product key switch to BFV (keys carry t-scaled error,
-    so the added term is ≡ 0 mod t as BGV requires)."""
-    return _bfv.relinearize(ctx, ct, rlk)
+    so the added term is ≡ 0 mod t as BGV requires); level-0 keys are
+    t-corrected-switched down for deeper ciphertexts."""
+    return _bfv.relinearize(ctx, ct, rlk, bgv=True)
 
 
 def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
@@ -268,12 +276,12 @@ def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
 
 def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
                 gal_keys: GaloisKeys) -> Ciphertext:
-    return _bfv.rotate_rows(ctx, ct, steps, gal_keys)
+    return _bfv.rotate_rows(ctx, ct, steps, gal_keys, bgv=True)
 
 
 def rotate_columns(ctx: SchemeContext, ct: Ciphertext,
                    gal_keys: GaloisKeys) -> Ciphertext:
-    return _bfv.rotate_columns(ctx, ct, gal_keys)
+    return _bfv.rotate_columns(ctx, ct, gal_keys, bgv=True)
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,16 @@ class SchemeContext:
     inv_qhat: jax.Array            # [k]
     inv_qhat_shoup: jax.Array
 
+    # per-level variants of the above (index = level; [0] covers full q).
+    # Leveled BFV multiply uses smq/floor/sk at the ciphertext's level;
+    # leveled plain ops use delta_L = floor(q_L/t); leveled key switching
+    # uses the level's digit constants.
+    smq_levels: tuple[_rns.SmMRqConsts, ...]
+    floor_levels: tuple[_rns.FastFloorConsts, ...]
+    sk_levels: tuple[_rns.SKConsts, ...]
+    delta_levels: tuple[tuple[jax.Array, jax.Array], ...]     # (delta, shoup)
+    inv_qhat_levels: tuple[tuple[jax.Array, jax.Array], ...]  # (inv, shoup)
+
     # modulus switching chain (level L -> L+1 drops prime k-1-L)
     mod_switch: tuple[_rns.ModSwitchConsts, ...]
 
@@ -113,7 +123,6 @@ def default_galois_elements(n: int) -> tuple[int, ...]:
 @functools.lru_cache(maxsize=None)
 def _context_host(params: SchemeParams):
     """Host-side exact constant computation (cached per params)."""
-    k = params.k
     t = params.t
     q = params.q
     delta = params.delta
@@ -125,6 +134,21 @@ def _context_host(params: SchemeParams):
         "inv_qhat": np.array(inv_qhat, dtype=_U),
         "inv_qhat_shoup": _rns._shoup_arr(inv_qhat, params.q_primes),
     }
+
+
+@functools.lru_cache(maxsize=None)
+def _level_host(primes: tuple[int, ...], t: int):
+    """(delta_L, delta_shoup, inv_qhat_L, inv_qhat_shoup) for one level."""
+    import math as _math
+
+    q = _math.prod(primes)
+    delta = q // t
+    delta_mod = [delta % p for p in primes]
+    inv_qhat = [pow(q // p, -1, p) for p in primes]
+    return (
+        np.array(delta_mod, dtype=_U), _rns._shoup_arr(delta_mod, primes),
+        np.array(inv_qhat, dtype=_U), _rns._shoup_arr(inv_qhat, primes),
+    )
 
 
 def make_context(params: SchemeParams | None = None, use_pallas: bool | None = None,
@@ -143,11 +167,24 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
     dec_levels = []
     bgv_dec_levels = []
     bgv_mod_switch = []
+    smq_levels = []
+    floor_levels = []
+    sk_levels = []
+    delta_levels = []
+    inv_qhat_levels = []
     chain = params.q_primes
     while len(chain) >= 1:
         dec_levels.append(_rns.make_decrypt(chain, params.t, params.gamma))
         bgv_dec_levels.append(
             _rns.make_sm_mrq(chain, (params.t,), params.m_tilde))
+        smq_levels.append(
+            _rns.make_sm_mrq(chain, params.bsk_primes, params.m_tilde))
+        floor_levels.append(_rns.make_fast_floor(chain, params.bsk_primes))
+        sk_levels.append(
+            _rns.make_sk(params.aux_primes, params.m_sk, chain))
+        d, ds, iq, iqs = _level_host(chain, params.t)
+        delta_levels.append((jnp.asarray(d), jnp.asarray(ds)))
+        inv_qhat_levels.append((jnp.asarray(iq), jnp.asarray(iqs)))
         if len(chain) >= 2:
             mod_switch.append(_rns.make_mod_switch(chain))
             bgv_mod_switch.append(_rns.make_bgv_mod_switch(chain, params.t))
@@ -177,6 +214,11 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
         dec_levels=tuple(dec_levels),
         bgv_dec_levels=tuple(bgv_dec_levels),
         bgv_mod_switch=tuple(bgv_mod_switch),
+        smq_levels=tuple(smq_levels),
+        floor_levels=tuple(floor_levels),
+        sk_levels=tuple(sk_levels),
+        delta_levels=tuple(delta_levels),
+        inv_qhat_levels=tuple(inv_qhat_levels),
         galois_src=galois_src,
         galois_neg=galois_neg,
     )
