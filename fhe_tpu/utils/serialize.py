@@ -21,6 +21,7 @@ import typing as _t
 import numpy as np
 import jax.numpy as jnp
 
+from ..params import SchemeParams, SecurityParams
 from ..scheme.types import (Ciphertext, GaloisKeys, Plaintext, PublicKey,
                             RelinKeys, SecretKey)
 
@@ -38,7 +39,35 @@ _TYPES: dict[str, tuple[type, tuple[str, ...]]] = {
 _CLS_TO_TAG = {cls: tag for tag, (cls, _) in _TYPES.items()}
 
 
+def _params_to_meta(params: SchemeParams) -> dict:
+    return {
+        "type": "SchemeParams",
+        "security": dataclasses_asdict(params.security),
+        "q_primes": list(params.q_primes),
+        "aux_primes": list(params.aux_primes),
+        "m_sk": params.m_sk, "gamma": params.gamma,
+        "m_tilde": params.m_tilde, "n": params.n, "t": params.t,
+    }
+
+
+def dataclasses_asdict(obj):
+    import dataclasses
+    return dataclasses.asdict(obj)
+
+
+def _params_from_meta(meta: dict) -> SchemeParams:
+    return SchemeParams(
+        security=SecurityParams(**meta["security"]),
+        n=meta["n"], t=meta["t"],
+        q_primes=tuple(meta["q_primes"]),
+        aux_primes=tuple(meta["aux_primes"]),
+        m_sk=meta["m_sk"], gamma=meta["gamma"], m_tilde=meta["m_tilde"],
+    )
+
+
 def _flatten(name: str, obj) -> tuple[dict[str, np.ndarray], dict]:
+    if isinstance(obj, SchemeParams):
+        return {}, _params_to_meta(obj)
     tag = _CLS_TO_TAG.get(type(obj))
     if tag is None:
         raise TypeError(f"cannot serialize {type(obj).__name__!r}")
@@ -56,6 +85,8 @@ def _flatten(name: str, obj) -> tuple[dict[str, np.ndarray], dict]:
 
 
 def _unflatten(name: str, meta: dict, npz) -> _t.Any:
+    if meta["type"] == "SchemeParams":
+        return _params_from_meta(meta)
     cls, _ = _TYPES[meta["type"]]
     if meta["type"] == "GaloisKeys":
         data = {int(g): jnp.asarray(npz[f"{name}/g{g}"])

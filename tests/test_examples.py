@@ -16,6 +16,7 @@ _EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
     "basic_encryption.py",
     "homomorphic_operations.py",
     "batch_processing.py",
+    "bgv_operations.py",
 ])
 def test_example_exits_zero(script):
     env = dict(os.environ)

@@ -50,6 +50,14 @@ def test_loaded_keys_decrypt(tmp_path, small_fhe):
     assert list(vals[:3]) == [7, 8, 9]
 
 
+def test_params_roundtrip(tmp_path):
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    p = make_scheme_params(SecurityParams(poly_degree=256, log_q=60))
+    path = tmp_path / "p.npz"
+    serialize.save(path, {"params": p})
+    assert serialize.load(path)["params"] == p
+
+
 def test_rejects_unknown_type(tmp_path):
     with pytest.raises(TypeError):
         serialize.save(tmp_path / "x.npz", {"bad": object()})
