@@ -342,10 +342,12 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     lift_a = _rns.sm_mrq(a.data, smq)   # [l+1, 2, n]
     lift_b = _rns.sm_mrq(b.data, smq)
 
-    # Step 2: tensor products in both bases via NTT.
+    # Step 2: tensor products in both bases via NTT.  Both operands ride ONE
+    # forward transform call ([k, 4, n]) — the batch axis amortizes the
+    # kernel's fixed cost.
     def tensor(x, y, tb, fwd, inv):
-        xf = fwd(ctx, x)
-        yf = fwd(ctx, y)
+        xy = fwd(ctx, jnp.concatenate([x, y], axis=1))
+        xf, yf = xy[:, :2], xy[:, 2:]
         p = _p3(tb)
         c0 = _ntt.pointwise_mul(xf[:, :1], yf[:, :1], tb)
         c2 = _ntt.pointwise_mul(xf[:, 1:], yf[:, 1:], tb)

@@ -237,8 +237,13 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
         raise ValueError("BGV scale_t mismatch")
     tb = _tb(ctx, a.level)
     p = _p3(tb)
-    af = to_ntt(ctx, a).data
-    bf = to_ntt(ctx, b).data
+    if a.is_ntt_form or b.is_ntt_form:
+        af = to_ntt(ctx, a).data
+        bf = to_ntt(ctx, b).data
+    else:
+        # one forward call for both operands (batch axis amortization)
+        ab = _fwd_q(ctx, jnp.concatenate([a.data, b.data], axis=1), a.level)
+        af, bf = ab[:, :2], ab[:, 2:]
     c0 = _ntt.pointwise_mul(af[:, :1], bf[:, :1], tb)
     c2 = _ntt.pointwise_mul(af[:, 1:], bf[:, 1:], tb)
     c1 = mm.add_mod(
