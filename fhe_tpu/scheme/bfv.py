@@ -324,6 +324,24 @@ def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphert
 # ---------------------------------------------------------------------------
 
 
+def _tensor_product(ctx: SchemeContext, x: jax.Array, y: jax.Array, tb,
+                    fwd, inv) -> jax.Array:
+    """(c0, c1, c2) = x (x) y for 2-component [k, 2, n] operands.  Both
+    operands ride ONE forward transform call ([k, 4, n]) — the batch axis
+    amortizes the kernel's fixed cost.  Shared by the BFV and BGV multiplies."""
+    xy = fwd(ctx, jnp.concatenate([x, y], axis=1))
+    xf, yf = xy[:, :2], xy[:, 2:]
+    p = _p3(tb)
+    c0 = _ntt.pointwise_mul(xf[:, :1], yf[:, :1], tb)
+    c2 = _ntt.pointwise_mul(xf[:, 1:], yf[:, 1:], tb)
+    c1 = mm.add_mod(
+        _ntt.pointwise_mul(xf[:, :1], yf[:, 1:], tb),
+        _ntt.pointwise_mul(xf[:, 1:], yf[:, :1], tb),
+        p,
+    )
+    return inv(ctx, jnp.concatenate([c0, c1, c2], axis=1))
+
+
 def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     """BEHZ RNS tensor product + t/q_L scaling -> 3-component ciphertext,
     at any level (per-level BEHZ constants from the context).
@@ -332,6 +350,10 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     reference's multiply (src/fhe.cu:199-224) whose scaling step didn't exist."""
     if a.level != b.level:
         raise ValueError("ciphertext level mismatch")
+    if a.num_components != 2 or b.num_components != 2:
+        raise ValueError(
+            "multiply needs 2-component ciphertexts; relinearize first "
+            f"(got {a.num_components} and {b.num_components})")
     level = a.level
     a = to_coeff(ctx, a)
     b = to_coeff(ctx, b)
@@ -342,26 +364,12 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     lift_a = _rns.sm_mrq(a.data, smq)   # [l+1, 2, n]
     lift_b = _rns.sm_mrq(b.data, smq)
 
-    # Step 2: tensor products in both bases via NTT.  Both operands ride ONE
-    # forward transform call ([k, 4, n]) — the batch axis amortizes the
-    # kernel's fixed cost.
-    def tensor(x, y, tb, fwd, inv):
-        xy = fwd(ctx, jnp.concatenate([x, y], axis=1))
-        xf, yf = xy[:, :2], xy[:, 2:]
-        p = _p3(tb)
-        c0 = _ntt.pointwise_mul(xf[:, :1], yf[:, :1], tb)
-        c2 = _ntt.pointwise_mul(xf[:, 1:], yf[:, 1:], tb)
-        c1 = mm.add_mod(
-            _ntt.pointwise_mul(xf[:, :1], yf[:, 1:], tb),
-            _ntt.pointwise_mul(xf[:, 1:], yf[:, :1], tb),
-            p,
-        )
-        return inv(ctx, jnp.concatenate([c0, c1, c2], axis=1))
-
-    tens_q = tensor(a.data, b.data, tb_q,
-                    lambda c, x: _fwd_q(c, x, level),
-                    lambda c, x: _inv_q(c, x, level))              # [k-L, 3, n]
-    tens_bsk = tensor(lift_a, lift_b, tb_bsk, _fwd_bsk, _inv_bsk)  # [l+1, 3, n]
+    # Step 2: tensor products in both bases via NTT.
+    tens_q = _tensor_product(ctx, a.data, b.data, _tb(ctx, level),
+                             lambda c, x: _fwd_q(c, x, level),
+                             lambda c, x: _inv_q(c, x, level))     # [k-L, 3, n]
+    tens_bsk = _tensor_product(ctx, lift_a, lift_b, tb_bsk,
+                               _fwd_bsk, _inv_bsk)                 # [l+1, 3, n]
 
     # Step 3: scale by t and FastFloor into Bsk.
     t_mod_q = ctx.dec_c.t  # t < every prime: same residue everywhere

@@ -235,27 +235,35 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
         raise ValueError("ciphertext level mismatch")
     if a.scale_t != b.scale_t:
         raise ValueError("BGV scale_t mismatch")
-    tb = _tb(ctx, a.level)
-    p = _p3(tb)
-    if a.is_ntt_form or b.is_ntt_form:
-        af = to_ntt(ctx, a).data
-        bf = to_ntt(ctx, b).data
+    if a.num_components != 2 or b.num_components != 2:
+        raise ValueError(
+            "multiply needs 2-component ciphertexts; relinearize first "
+            f"(got {a.num_components} and {b.num_components})")
+    level = a.level
+    tb = _tb(ctx, level)
+    if a.is_ntt_form and b.is_ntt_form:
+        # operands already in evaluation form: skip the forward transforms
+        p = _p3(tb)
+        af, bf = a.data, b.data
+        c0 = _ntt.pointwise_mul(af[:, :1], bf[:, :1], tb)
+        c2 = _ntt.pointwise_mul(af[:, 1:], bf[:, 1:], tb)
+        c1 = mm.add_mod(
+            _ntt.pointwise_mul(af[:, :1], bf[:, 1:], tb),
+            _ntt.pointwise_mul(af[:, 1:], bf[:, :1], tb), p)
+        data = _inv_q(ctx, jnp.concatenate([c0, c1, c2], axis=1), level)
     else:
-        # one forward call for both operands (batch axis amortization)
-        ab = _fwd_q(ctx, jnp.concatenate([a.data, b.data], axis=1), a.level)
-        af, bf = ab[:, :2], ab[:, 2:]
-    c0 = _ntt.pointwise_mul(af[:, :1], bf[:, :1], tb)
-    c2 = _ntt.pointwise_mul(af[:, 1:], bf[:, 1:], tb)
-    c1 = mm.add_mod(
-        _ntt.pointwise_mul(af[:, :1], bf[:, 1:], tb),
-        _ntt.pointwise_mul(af[:, 1:], bf[:, :1], tb), p)
-    data = _inv_q(ctx, jnp.concatenate([c0, c1, c2], axis=1), a.level)
+        a = to_coeff(ctx, a)
+        b = to_coeff(ctx, b)
+        data = _bfv._tensor_product(
+            ctx, a.data, b.data, tb,
+            lambda c, x: _fwd_q(c, x, level),
+            lambda c, x: _inv_q(c, x, level))
     # noise_budget: |v1*v2| roughly adds the consumed bits of both operands
     fresh = _fresh_noise_budget(ctx)
     consumed = (fresh - a.noise_budget) + (fresh - b.noise_budget)
     log_n = math.log2(ctx.n)
     return Ciphertext(
-        data=data, level=a.level, is_ntt_form=False,
+        data=data, level=level, is_ntt_form=False,
         scale_t=(a.scale_t * b.scale_t) % ctx.params.t,
         noise_budget=max(0.0, fresh - consumed - math.log2(ctx.params.t)
                          - log_n),

@@ -178,3 +178,14 @@ def test_coeff_encoding_gives_convolution(fhe, keys):
     n, t = PARAMS.n, PARAMS.t
     want = oracle.negacyclic_mul_mod(m1 + [0] * (n - 4), m2 + [0] * (n - 4), t)
     assert list(got) == want
+
+
+def test_multiply_rejects_three_components(fhe, keys):
+    """A 3-component (unrelinearized) operand must be rejected loudly, not
+    silently mis-sliced by the batched-NTT concat."""
+    pk, _, _ = keys
+    ct = fhe.encrypt(fhe.encode([1, 2]), pk)
+    ct3 = fhe.multiply_no_relin(ct, ct)
+    assert ct3.num_components == 3
+    with pytest.raises(ValueError):
+        fhe.multiply_no_relin(ct3, ct)
