@@ -5,5 +5,7 @@ replacement for the reference's doc-only multi-GPU RNS design,
 
 from .mesh import make_mesh, rns_sharding
 from .distributed_ntt import dist_ntt_forward, dist_ntt_inverse
+from .sharded import ShardedFHE, shard_batch
 
-__all__ = ["make_mesh", "rns_sharding", "dist_ntt_forward", "dist_ntt_inverse"]
+__all__ = ["make_mesh", "rns_sharding", "dist_ntt_forward", "dist_ntt_inverse",
+           "ShardedFHE", "shard_batch"]

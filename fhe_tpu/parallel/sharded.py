@@ -1,0 +1,71 @@
+"""User-facing sharded-execution helpers.
+
+The scheme functions (scheme/bfv.py, scheme/bgv.py) are pure jitted functions
+over ``[k, ..., n]`` residue pytrees, so multi-chip execution is entirely a
+matter of placing the arrays with the right shardings and letting XLA insert
+the collectives (the "pick a mesh, annotate shardings" recipe).  This module
+packages the two production layouts:
+
+* **rns** — the RNS prime axis across chips (the reference's prime-per-GPU
+  design, ``docs/ARCHITECTURE.md:499-511``): per-prime NTTs run with zero
+  communication; CRT/base-conversion steps become cross-chip reductions.
+* **dp** — batch data-parallelism: independent ciphertexts per chip.
+
+Example::
+
+    mesh = make_mesh({"rns": 8})
+    sfhe = ShardedFHE(fhe, mesh)
+    ct1, ct2 = sfhe.shard(ct1), sfhe.shard(ct2)
+    out = sfhe.multiply(ct1, ct2, rlk)          # runs sharded
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..scheme.types import (Ciphertext, GaloisKeys, PublicKey, RelinKeys,
+                            SecretKey)
+from .mesh import make_mesh, rns_sharding
+
+
+class ShardedFHE:
+    """Wraps an ``fhe_tpu.FHE`` instance with a mesh; scheme calls run with
+    the prime axis sharded (axis name ``rns``)."""
+
+    def __init__(self, fhe, mesh: Mesh, axis: str = "rns"):
+        self.fhe = fhe
+        self.mesh = mesh
+        self.axis = axis
+
+    def _sharding(self, ndim: int) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.axis, *([None] * (ndim - 1))))
+
+    def shard(self, obj):
+        """Place any key/ciphertext pytree with its prime axis sharded."""
+        def place(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+                # keys-with-digit-axis ([k_digit, k, 2, n]) shard axis 1;
+                # residue tensors ([k, ..., n]) shard axis 0
+                if isinstance(obj, RelinKeys) or (
+                        isinstance(obj, GaloisKeys)):
+                    spec = P(None, self.axis, *([None] * (leaf.ndim - 2)))
+                    return jax.device_put(leaf, NamedSharding(self.mesh, spec))
+                return jax.device_put(leaf, self._sharding(leaf.ndim))
+            return leaf
+        return jax.tree_util.tree_map(place, obj)
+
+    def replicate(self, obj):
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, NamedSharding(self.mesh, P()))
+            if hasattr(leaf, "ndim") else leaf, obj)
+
+    # scheme ops pass through the wrapped FHE (jit propagates shardings)
+    def __getattr__(self, name):
+        return getattr(self.fhe, name)
+
+
+def shard_batch(mesh: Mesh, stacked: jax.Array, axis: str = "dp") -> jax.Array:
+    """Place a [B, ...] stack of ciphertext tensors batch-sharded."""
+    spec = P(axis, *([None] * (stacked.ndim - 1)))
+    return jax.device_put(stacked, NamedSharding(mesh, spec))

@@ -112,3 +112,27 @@ def test_batch_vmap_ciphertexts(eight_devices):
         ct = cts[0].replace(data=doubled[i])
         got = fhe.decode(fhe.decrypt(ct, sk))
         assert list(got[:2]) == [(2 * (i + 1)) % 65537, (4 * i) % 65537]
+
+
+def test_sharded_fhe_wrapper(eight_devices):
+    """ShardedFHE convenience API: prime-axis-sharded multiply is bit-exact
+    with the single-device result."""
+    from fhe_tpu.parallel.sharded import ShardedFHE
+
+    params = make_scheme_params(
+        SecurityParams(poly_degree=128, log_q=240, hamming_weight=16))
+    fhe = FHE(params, seed=23)
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    ct1 = fhe.encrypt(fhe.encode([2, 3]), pk)
+    ct2 = fhe.encrypt(fhe.encode([5, 7]), pk)
+
+    mesh = _mesh.make_mesh({"rns": 8}, eight_devices)
+    sfhe = ShardedFHE(fhe, mesh)
+    s1, s2 = sfhe.shard(ct1), sfhe.shard(ct2)
+    srlk = sfhe.shard(rlk)
+    out = sfhe.multiply(s1, s2, srlk)
+    got = fhe.decode(fhe.decrypt(out, sk))
+    assert list(got[:2]) == [10, 21]
+    ref = fhe.multiply(ct1, ct2, rlk)
+    np.testing.assert_array_equal(np.asarray(out.data), np.asarray(ref.data))
