@@ -62,6 +62,13 @@ class FHE:
         self._multiply_no_relin = jax.jit(mod.multiply_no_relin)
         self._relinearize = jax.jit(mod.relinearize)
         self._mod_switch = jax.jit(mod.mod_switch_to_next)
+        self._multiply_lv = jax.jit(
+            functools.partial(mod.multiply, keys_at_level=True))
+        self._relinearize_lv = jax.jit(
+            functools.partial(mod.relinearize, keys_at_level=True))
+        # (id(rlk), level) -> (rlk strong ref, switched keys); the strong ref
+        # keeps id() valid for the cache lifetime
+        self._rlk_cache: dict = {}
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -124,8 +131,25 @@ class FHE:
     def multiply_plain(self, ct, pt):
         return self._mul_plain(self.ctx, ct, pt)
 
+    def _rlk_at(self, rlk: RelinKeys, level: int) -> RelinKeys:
+        """Per-level key cache: level-0 keys are down-switched once and
+        reused (bfv.switch_relin_keys), not inside every relinearization."""
+        if level == 0:
+            return rlk
+        key = (id(rlk), level)
+        hit = self._rlk_cache.get(key)
+        if hit is None:
+            switched = bfv.switch_relin_keys(
+                self.ctx, rlk, level, bgv=self.scheme_name == "bgv")
+            # keep a strong ref to rlk so id() stays valid while cached
+            self._rlk_cache[key] = hit = (rlk, switched)
+        return hit[1]
+
     def multiply(self, a, b, rlk: RelinKeys):
         with self.monitor.time("multiply"):
+            if a.level:
+                return self._multiply_lv(
+                    self.ctx, a, b, self._rlk_at(rlk, a.level))
             return self._multiply(self.ctx, a, b, rlk)
 
     def multiply_no_relin(self, a, b):
@@ -133,6 +157,9 @@ class FHE:
 
     def relinearize(self, ct, rlk: RelinKeys):
         with self.monitor.time("relinearize"):
+            if ct.level:
+                return self._relinearize_lv(
+                    self.ctx, ct, self._rlk_at(rlk, ct.level))
             return self._relinearize(self.ctx, ct, rlk)
 
     # -- rotations --

@@ -416,16 +416,26 @@ def _switch_keys_down(ctx: SchemeContext, ks_keys: jax.Array, level: int,
         switched.reshape(kl, kl, 2, ctx.n), (1, 0, 2, 3))
 
 
+def switch_relin_keys(ctx: SchemeContext, rlk: RelinKeys, level: int,
+                      bgv: bool = False) -> RelinKeys:
+    """Precompute level-L relinearization keys from level-0 keys (see
+    _switch_keys_down).  Callers doing repeated leveled relinearizations
+    should cache the result (FHE wrapper does this automatically)."""
+    return RelinKeys(data=_switch_keys_down(ctx, rlk.data, level, bgv))
+
+
 def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys,
-                bgv: bool = False) -> Ciphertext:
+                bgv: bool = False, keys_at_level: bool = False) -> Ciphertext:
     """3 -> 2 components via RNS-digit key switching at any level (real
     implementation; the reference's relinearize just truncated,
-    src/fhe.cu:226-235)."""
+    src/fhe.cu:226-235).  keys_at_level=True skips the on-the-fly key
+    down-switch (rlk already produced by switch_relin_keys)."""
     assert ct.num_components == 3
     level = ct.level
     ct = to_coeff(ctx, ct)
     c2 = ct.data[:, 2]  # [k-L, n]
-    keys = _switch_keys_down(ctx, rlk.data, level, bgv)
+    keys = (rlk.data if keys_at_level
+            else _switch_keys_down(ctx, rlk.data, level, bgv))
     acc0, acc1 = _keyswitch_inner(ctx, c2, keys, level)
     tb = _tb(ctx, level)
     p = _p3(tb)
@@ -468,10 +478,11 @@ def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
 
 
 def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
-             rlk: RelinKeys) -> Ciphertext:
+             rlk: RelinKeys, keys_at_level: bool = False) -> Ciphertext:
     """Full homomorphic multiply: tensor + scale + relinearize
     (reference src/fhe.cu:199-224)."""
-    return relinearize(ctx, multiply_no_relin(ctx, a, b), rlk)
+    return relinearize(ctx, multiply_no_relin(ctx, a, b), rlk,
+                       keys_at_level=keys_at_level)
 
 
 # ---------------------------------------------------------------------------

@@ -270,16 +270,19 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     )
 
 
-def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
+def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys,
+                keys_at_level: bool = False) -> Ciphertext:
     """Identical inner-product key switch to BFV (keys carry t-scaled error,
     so the added term is ≡ 0 mod t as BGV requires); level-0 keys are
     t-corrected-switched down for deeper ciphertexts."""
-    return _bfv.relinearize(ctx, ct, rlk, bgv=True)
+    return _bfv.relinearize(ctx, ct, rlk, bgv=True,
+                            keys_at_level=keys_at_level)
 
 
 def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
-             rlk: RelinKeys) -> Ciphertext:
-    return relinearize(ctx, multiply_no_relin(ctx, a, b), rlk)
+             rlk: RelinKeys, keys_at_level: bool = False) -> Ciphertext:
+    return relinearize(ctx, multiply_no_relin(ctx, a, b), rlk,
+                       keys_at_level=keys_at_level)
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,18 @@ def test_rotation_at_level(setup):
     ct = fhe.mod_switch_to_next(fhe.encrypt(fhe.encode(vals), pk))
     got = fhe.decode(fhe.decrypt(fhe.rotate_rows(ct, 1, gal), sk))
     assert list(got[:half]) == vals[1:] + vals[:1]
+
+
+def test_relin_key_cache_consistency(setup):
+    """Cached down-switched keys must give the same result as on-the-fly."""
+    fhe, pk, sk, rlk = setup
+    from fhe_tpu.scheme import bfv as _bfv
+    ct1 = fhe.mod_switch_to_next(fhe.encrypt(fhe.encode([5, 6]), pk))
+    ct2 = fhe.mod_switch_to_next(fhe.encrypt(fhe.encode([7, 8]), pk))
+    via_cache = fhe.multiply(ct1, ct2, rlk)           # FHE wrapper path
+    mod = fhe._scheme
+    direct = mod.multiply(fhe.ctx, ct1, ct2, rlk)     # on-the-fly switching
+    np.testing.assert_array_equal(
+        np.asarray(via_cache.data), np.asarray(direct.data))
+    # cache populated exactly once per (rlk, level)
+    assert (id(rlk), 1) in fhe._rlk_cache

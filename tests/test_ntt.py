@@ -81,3 +81,20 @@ def test_jit_compiles_once_and_matches():
     # second call reuses the compiled executable and must agree
     got2 = np.asarray(pmul(jnp.asarray(a), jnp.asarray(a), tb))
     np.testing.assert_array_equal(got, got2)
+
+
+def test_tables_build_at_max_degree():
+    """n = 32768 is the largest batching-compatible degree (2n | t-1);
+    tables must build and round-trip (k=1 to keep CI time sane)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fhe_tpu import primes as _primes
+    from fhe_tpu.ops import ntt as _ntt
+
+    n = 32768
+    p = _primes.find_ntt_primes(n, 1, bits=30)[0]
+    tb = _ntt.build_tables(n, [p])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, p, size=(1, 1, n)).astype(np.uint32))
+    rt = _ntt.ntt_inverse(_ntt.ntt_forward(x, tb), tb)
+    assert np.array_equal(rt, x)
