@@ -31,8 +31,12 @@ from .utils.perf import PerformanceMonitor
 
 
 class FHE:
-    """Stateful convenience wrapper (thread-safe: all state is immutable
-    except the PRNG counter and the performance monitor)."""
+    """Stateful convenience wrapper.
+
+    Mutable state: the PRNG counter, the performance monitor, and the
+    per-level relinearization-key cache (GIL-safe; guard externally on
+    free-threaded Python when sharing one instance across threads).  All
+    scheme state (context, keys, ciphertexts) is immutable."""
 
     def __init__(self, params: SchemeParams | None = None, seed: int = 0,
                  scheme: str = "bfv", **security_kw):
@@ -66,8 +70,13 @@ class FHE:
             functools.partial(mod.multiply, keys_at_level=True))
         self._relinearize_lv = jax.jit(
             functools.partial(mod.relinearize, keys_at_level=True))
-        # (id(rlk), level) -> (rlk strong ref, switched keys); the strong ref
-        # keeps id() valid for the cache lifetime
+        self._switch_rlk = jax.jit(
+            functools.partial(bfv.switch_relin_keys,
+                              bgv=scheme == "bgv"),
+            static_argnames=("level",))
+        # (id(rlk), level) -> switched keys; weakref.finalize evicts every
+        # entry for an rlk when the caller drops it, so the cache neither
+        # pins dead keys in HBM nor grows unboundedly
         self._rlk_cache: dict = {}
 
     def _next_key(self):
@@ -132,34 +141,41 @@ class FHE:
         return self._mul_plain(self.ctx, ct, pt)
 
     def _rlk_at(self, rlk: RelinKeys, level: int) -> RelinKeys:
-        """Per-level key cache: level-0 keys are down-switched once and
-        reused (bfv.switch_relin_keys), not inside every relinearization."""
+        """Per-level key cache: level-0 keys are down-switched once (jitted,
+        timed under its own monitor key) and reused across relinearizations.
+        Entries are evicted when the caller drops the rlk object."""
         if level == 0:
             return rlk
         key = (id(rlk), level)
-        hit = self._rlk_cache.get(key)
-        if hit is None:
-            switched = bfv.switch_relin_keys(
-                self.ctx, rlk, level, bgv=self.scheme_name == "bgv")
-            # keep a strong ref to rlk so id() stays valid while cached
-            self._rlk_cache[key] = hit = (rlk, switched)
-        return hit[1]
+        switched = self._rlk_cache.get(key)
+        if switched is None:
+            import weakref
+            with self.monitor.time("switch_relin_keys"):
+                switched = self._switch_rlk(self.ctx, rlk, level=level)
+            self._rlk_cache[key] = switched
+            rlk_id = id(rlk)
+            weakref.finalize(
+                rlk, lambda c=self._rlk_cache, i=rlk_id: [
+                    c.pop(kk) for kk in list(c) if kk[0] == i])
+        return switched
 
     def multiply(self, a, b, rlk: RelinKeys):
+        if a.level:
+            rlk_l = self._rlk_at(rlk, a.level)
+            with self.monitor.time("multiply"):
+                return self._multiply_lv(self.ctx, a, b, rlk_l)
         with self.monitor.time("multiply"):
-            if a.level:
-                return self._multiply_lv(
-                    self.ctx, a, b, self._rlk_at(rlk, a.level))
             return self._multiply(self.ctx, a, b, rlk)
 
     def multiply_no_relin(self, a, b):
         return self._multiply_no_relin(self.ctx, a, b)
 
     def relinearize(self, ct, rlk: RelinKeys):
+        if ct.level:
+            rlk_l = self._rlk_at(rlk, ct.level)
+            with self.monitor.time("relinearize"):
+                return self._relinearize_lv(self.ctx, ct, rlk_l)
         with self.monitor.time("relinearize"):
-            if ct.level:
-                return self._relinearize_lv(
-                    self.ctx, ct, self._rlk_at(rlk, ct.level))
             return self._relinearize(self.ctx, ct, rlk)
 
     # -- rotations --

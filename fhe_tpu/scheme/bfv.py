@@ -420,7 +420,11 @@ def switch_relin_keys(ctx: SchemeContext, rlk: RelinKeys, level: int,
                       bgv: bool = False) -> RelinKeys:
     """Precompute level-L relinearization keys from level-0 keys (see
     _switch_keys_down).  Callers doing repeated leveled relinearizations
-    should cache the result (FHE wrapper does this automatically)."""
+    should cache the result (FHE wrapper does this automatically).
+
+    BGV keys must pass bgv=True (or use scheme.bgv.switch_relin_keys): the
+    plain rounding switch would break their t*e error structure without any
+    shape error — decryptions would silently be wrong."""
     return RelinKeys(data=_switch_keys_down(ctx, rlk.data, level, bgv))
 
 

@@ -116,6 +116,15 @@ def relinkey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey) -> RelinKeys
     return RelinKeys(data=_keyswitch_keygen(ctx, key, sk, s2))
 
 
+def switch_relin_keys(ctx: SchemeContext, rlk: RelinKeys,
+                      level: int) -> RelinKeys:
+    """Precompute level-L BGV relinearization keys.  BGV keys MUST be
+    switched with the t-corrected path (a plain BFV rounding switch would
+    destroy the t*e error structure and silently corrupt decryptions) —
+    always use this wrapper, never bfv.switch_relin_keys, for BGV keys."""
+    return _bfv.switch_relin_keys(ctx, rlk, level, bgv=True)
+
+
 def galoiskey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
                   elements=None) -> GaloisKeys:
     tb = ctx.ntt_q

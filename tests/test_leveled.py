@@ -87,3 +87,18 @@ def test_relin_key_cache_consistency(setup):
         np.asarray(via_cache.data), np.asarray(direct.data))
     # cache populated exactly once per (rlk, level)
     assert (id(rlk), 1) in fhe._rlk_cache
+
+
+def test_rlk_cache_evicts_on_gc():
+    """Dropping the rlk object must evict its cached per-level keys
+    (no HBM pinning of dead key material)."""
+    import gc
+    fhe = FHE(PARAMS, seed=29)
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    ct = fhe.mod_switch_to_next(fhe.encrypt(fhe.encode([3]), pk))
+    fhe.multiply(ct, ct, rlk)
+    assert len(fhe._rlk_cache) == 1
+    del rlk
+    gc.collect()
+    assert len(fhe._rlk_cache) == 0
