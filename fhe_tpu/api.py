@@ -74,10 +74,11 @@ class FHE:
             functools.partial(bfv.switch_relin_keys,
                               bgv=scheme == "bgv"),
             static_argnames=("level",))
-        # (id(rlk), level) -> switched keys; weakref.finalize evicts every
-        # entry for an rlk when the caller drops it, so the cache neither
-        # pins dead keys in HBM nor grows unboundedly
+        # (id(keys), level) -> switched keys; weakref.finalize evicts every
+        # entry for a key object when the caller drops it, so the caches
+        # neither pin dead keys in HBM nor grow unboundedly
         self._rlk_cache: dict = {}
+        self._gal_cache: dict = {}
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -140,24 +141,36 @@ class FHE:
     def multiply_plain(self, ct, pt):
         return self._mul_plain(self.ctx, ct, pt)
 
-    def _rlk_at(self, rlk: RelinKeys, level: int) -> RelinKeys:
-        """Per-level key cache: level-0 keys are down-switched once (jitted,
-        timed under its own monitor key) and reused across relinearizations.
-        Entries are evicted when the caller drops the rlk object."""
+    def _keys_at(self, cache: dict, keys, level: int, switch_fn, label: str):
+        """Per-level key cache with weakref eviction (shared by relin and
+        Galois key material)."""
         if level == 0:
-            return rlk
-        key = (id(rlk), level)
-        switched = self._rlk_cache.get(key)
+            return keys
+        ck = (id(keys), level)
+        switched = cache.get(ck)
         if switched is None:
             import weakref
-            with self.monitor.time("switch_relin_keys"):
-                switched = self._switch_rlk(self.ctx, rlk, level=level)
-            self._rlk_cache[key] = switched
-            rlk_id = id(rlk)
+            with self.monitor.time(label):
+                switched = switch_fn(keys, level)
+            cache[ck] = switched
+            kid = id(keys)
             weakref.finalize(
-                rlk, lambda c=self._rlk_cache, i=rlk_id: [
+                keys, lambda c=cache, i=kid: [
                     c.pop(kk) for kk in list(c) if kk[0] == i])
         return switched
+
+    def _rlk_at(self, rlk: RelinKeys, level: int) -> RelinKeys:
+        return self._keys_at(
+            self._rlk_cache, rlk, level,
+            lambda k, lv: self._switch_rlk(self.ctx, k, level=lv),
+            "switch_relin_keys")
+
+    def _gal_at(self, gal: GaloisKeys, level: int) -> GaloisKeys:
+        return self._keys_at(
+            self._gal_cache, gal, level,
+            lambda k, lv: bfv.switch_galois_keys(
+                self.ctx, k, lv, bgv=self.scheme_name == "bgv"),
+            "switch_galois_keys")
 
     def multiply(self, a, b, rlk: RelinKeys):
         if a.level:
@@ -180,11 +193,17 @@ class FHE:
 
     # -- rotations --
     def rotate_rows(self, ct, steps: int, gal_keys: GaloisKeys):
+        if ct.level:
+            gal_keys = self._gal_at(gal_keys, ct.level)
         with self.monitor.time("rotate"):
-            return self._scheme.rotate_rows(self.ctx, ct, steps, gal_keys)
+            return self._scheme.rotate_rows(
+                self.ctx, ct, steps, gal_keys, keys_at_level=ct.level > 0)
 
     def rotate_columns(self, ct, gal_keys: GaloisKeys):
-        return self._scheme.rotate_columns(self.ctx, ct, gal_keys)
+        if ct.level:
+            gal_keys = self._gal_at(gal_keys, ct.level)
+        return self._scheme.rotate_columns(
+            self.ctx, ct, gal_keys, keys_at_level=ct.level > 0)
 
     # -- noise management --
     def mod_switch_to_next(self, ct):

@@ -495,16 +495,18 @@ def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
 
 
 def key_switch(ctx: SchemeContext, ct: Ciphertext, ks_keys: jax.Array,
-               bgv: bool = False) -> Ciphertext:
+               bgv: bool = False, keys_at_level: bool = False) -> Ciphertext:
     """Switch a 2-component ct encrypted under s' to one under s, where
     ks_keys encrypt (q/q_j)*s' (reference decl include/fhe.cuh:134-135).
-    Level-0 keys are switched down automatically for deeper ciphertexts."""
+    Level-0 keys are switched down automatically for deeper ciphertexts
+    (keys_at_level=True skips that — ks_keys already at ct.level)."""
     assert ct.num_components == 2
     level = ct.level
     ct = to_coeff(ctx, ct)
     tb = _tb(ctx, level)
     p = _p3(tb)
-    keys = _switch_keys_down(ctx, ks_keys, level, bgv)
+    keys = ks_keys if keys_at_level else _switch_keys_down(
+        ctx, ks_keys, level, bgv)
     acc0, acc1 = _keyswitch_inner(ctx, ct.data[:, 1], keys, level)
     delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
     c0 = mm.add_mod(ct.data[:, :1], delta[:, :1], p)
@@ -520,19 +522,30 @@ def _apply_galois_coeff(ctx: SchemeContext, data: jax.Array, g: int) -> jax.Arra
     return jnp.where(neg[None, None, :], mm.neg_mod(gathered, p), gathered)
 
 
+def switch_galois_keys(ctx: SchemeContext, gal_keys: GaloisKeys, level: int,
+                       bgv: bool = False) -> GaloisKeys:
+    """Precompute level-L Galois keys from level-0 keys (cacheable; the FHE
+    wrapper does this per (keys, level)).  BGV keys need bgv=True."""
+    return GaloisKeys(data={
+        g: _switch_keys_down(ctx, arr, level, bgv)
+        for g, arr in gal_keys.data.items()})
+
+
 def apply_galois(ctx: SchemeContext, ct: Ciphertext, g: int,
-                 gal_keys: GaloisKeys, bgv: bool = False) -> Ciphertext:
+                 gal_keys: GaloisKeys, bgv: bool = False,
+                 keys_at_level: bool = False) -> Ciphertext:
     """Automorphism + key switch (building block of rotate_rows/columns)."""
     assert ct.num_components == 2
     ct = to_coeff(ctx, ct)
     permuted = _apply_galois_coeff(ctx, ct.data, g)
     tmp = ct.replace(data=permuted)
-    return key_switch(ctx, tmp, gal_keys.data[g], bgv).replace(
+    return key_switch(ctx, tmp, gal_keys.data[g], bgv, keys_at_level).replace(
         noise_budget=max(0.0, ct.noise_budget - 2.0))
 
 
 def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
-                gal_keys: GaloisKeys, bgv: bool = False) -> Ciphertext:
+                gal_keys: GaloisKeys, bgv: bool = False,
+                keys_at_level: bool = False) -> Ciphertext:
     """Cyclic slot rotation within each row of the 2 x (n/2) slot matrix
     (reference decl include/fhe.cuh:113-114).  Decomposes |steps| into the
     power-of-two Galois elements the default keys cover."""
@@ -548,16 +561,17 @@ def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
             g = pow(3, bit, m)
             if g not in gal_keys.data:
                 raise KeyError(f"no galois key for element {g} (step {bit})")
-            ct = apply_galois(ctx, ct, g, gal_keys, bgv)
+            ct = apply_galois(ctx, ct, g, gal_keys, bgv, keys_at_level)
             steps ^= bit
         bit <<= 1
     return ct
 
 
 def rotate_columns(ctx: SchemeContext, ct: Ciphertext,
-                   gal_keys: GaloisKeys, bgv: bool = False) -> Ciphertext:
+                   gal_keys: GaloisKeys, bgv: bool = False,
+                   keys_at_level: bool = False) -> Ciphertext:
     """Swap the two slot rows: g = 2n - 1 (reference decl include/fhe.cuh:115-116)."""
-    return apply_galois(ctx, ct, 2 * ctx.n - 1, gal_keys, bgv)
+    return apply_galois(ctx, ct, 2 * ctx.n - 1, gal_keys, bgv, keys_at_level)
 
 
 # ---------------------------------------------------------------------------

@@ -300,13 +300,21 @@ def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
 
 
 def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
-                gal_keys: GaloisKeys) -> Ciphertext:
-    return _bfv.rotate_rows(ctx, ct, steps, gal_keys, bgv=True)
+                gal_keys: GaloisKeys, keys_at_level: bool = False) -> Ciphertext:
+    return _bfv.rotate_rows(ctx, ct, steps, gal_keys, bgv=True,
+                            keys_at_level=keys_at_level)
 
 
 def rotate_columns(ctx: SchemeContext, ct: Ciphertext,
-                   gal_keys: GaloisKeys) -> Ciphertext:
-    return _bfv.rotate_columns(ctx, ct, gal_keys, bgv=True)
+                   gal_keys: GaloisKeys, keys_at_level: bool = False) -> Ciphertext:
+    return _bfv.rotate_columns(ctx, ct, gal_keys, bgv=True,
+                               keys_at_level=keys_at_level)
+
+
+def switch_galois_keys(ctx: SchemeContext, gal_keys: GaloisKeys,
+                       level: int) -> GaloisKeys:
+    """t-corrected per-level Galois keys (see bgv.switch_relin_keys)."""
+    return _bfv.switch_galois_keys(ctx, gal_keys, level, bgv=True)
 
 
 # ---------------------------------------------------------------------------
