@@ -92,6 +92,23 @@ class SchemeParams:
         return tuple(reversed(out))
 
 
+# Maximum log2(q) for 128-bit classical security per polynomial degree
+# (homomorphicencryption.org standard tables, ternary secret).  The reference
+# documents the same rules in README "Security Considerations" /
+# docs/ARCHITECTURE.md:527-539 but never enforces them; we warn.
+_MAX_LOGQ_128 = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438,
+                 32768: 881}
+
+
+def security_margin(security: SecurityParams) -> int | None:
+    """max-secure log q minus requested log q at lambda=128 (negative =
+    parameters are below 128-bit security); None if n is off-table."""
+    cap = _MAX_LOGQ_128.get(security.poly_degree)
+    if cap is None:
+        return None
+    return cap - security.log_q
+
+
 @functools.lru_cache(maxsize=None)
 def make_scheme_params(security: SecurityParams = SecurityParams()) -> SchemeParams:
     """Expand SecurityParams into a full plan (reference ``src/fhe.cu:7-40``).
@@ -103,6 +120,16 @@ def make_scheme_params(security: SecurityParams = SecurityParams()) -> SchemePar
     n = security.poly_degree
     if n & (n - 1) or n < 8:
         raise ValueError("poly_degree must be a power of two >= 8")
+    margin = security_margin(security)
+    if margin is not None and margin < 0 and security.lambda_ >= 128:
+        import warnings
+        warnings.warn(
+            f"parameters (n={n}, log_q={security.log_q}) fall below the "
+            f"requested {security.lambda_}-bit security level (max log_q "
+            f"for n={n} is {_MAX_LOGQ_128[n]}); the reference's own default "
+            "(n=4096, log_q=120) has the same issue — use n=8192 or a "
+            "smaller modulus for production",
+            stacklevel=2)
     t = 65537
     if (t - 1) % (2 * n) != 0:
         raise ValueError(f"t=65537 does not support batching for n={n}")

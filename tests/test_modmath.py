@@ -110,3 +110,22 @@ def test_mul_mod_fermat16():
     got = np.asarray(mm.mul_mod_fermat16(jnp.asarray(a), jnp.asarray(b)))
     want = (a.astype(object) * b.astype(object)) % t
     np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_security_margin_warning():
+    """Sub-128-bit parameter sets warn (the reference documents but never
+    enforces its own security tables)."""
+    import warnings
+    import pytest
+    from fhe_tpu.params import SecurityParams, make_scheme_params, security_margin
+
+    assert security_margin(SecurityParams(poly_degree=8192, log_q=90)) > 0
+    assert security_margin(SecurityParams(poly_degree=4096, log_q=120)) < 0
+    make_scheme_params.cache_clear()
+    with pytest.warns(UserWarning, match="below the requested"):
+        make_scheme_params(SecurityParams(poly_degree=4096, log_q=120))
+    make_scheme_params.cache_clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make_scheme_params(SecurityParams(poly_degree=8192, log_q=90))
+    make_scheme_params.cache_clear()
