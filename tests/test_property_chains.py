@@ -97,3 +97,33 @@ def test_rotate_then_accumulate_inner_product(scheme):
         step *= 2
     got = int(fhe.decode(fhe.decrypt(ct, sk))[0])
     assert got == int(np.dot(x, y)) % T
+
+
+def test_bfv_chain_with_mod_switch():
+    """Chains that mod-switch mid-circuit (BFV) keep tracking the model:
+    switch, then keep adding/rotating/multiplying at the lower level."""
+    rng = np.random.default_rng(55)
+    fhe = FHE(PARAMS, seed=55)
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    gal = fhe.galoiskey_gen(sk)
+
+    v1 = rng.integers(0, 50, size=2 * HALF).astype(np.int64)
+    v2 = rng.integers(0, 50, size=2 * HALF).astype(np.int64)
+    ct = fhe.multiply(fhe.encrypt(fhe.encode(v1), pk),
+                      fhe.encrypt(fhe.encode(v2), pk), rlk)
+    model = (v1 * v2) % T
+
+    ct = fhe.mod_switch_to_next(ct)
+    ct = fhe.rotate_rows(ct, 2, gal)            # leveled rotation
+    model = _rot_rows(model, 2)
+
+    other = fhe.mod_switch_to_next(fhe.encrypt(fhe.encode(v1), pk))
+    ct = fhe.add(ct, other)
+    model = (model + v1) % T
+
+    ct = fhe.multiply(ct, other, rlk)           # leveled multiply
+    model = (model * v1) % T
+
+    got = fhe.decode(fhe.decrypt(ct, sk)).astype(np.int64)
+    np.testing.assert_array_equal(got, model)
