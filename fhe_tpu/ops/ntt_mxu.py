@@ -24,9 +24,11 @@ are self-consistent, and the polymul result is order-independent
 
 Modular matmul on the int8 MXU: operands < 2^30 are split into five
 unsigned 7-bit limbs (int8-safe), giving 25 limb-pair int8 matmuls
-accumulated in int32 (max dot: 127·127·128 = 2^21 per pair, ≤ 5·2^21 per
-diagonal — no overflow), then recombined with a Horner sweep mod p on the
-VPU (Q_s = Σ_{a+b=s} C_ab; x = Σ_s 128^s·Q_s mod p).
+accumulated in int32 (max dot: 127²·n2 per pair; diagonal sums and the
+uint32 pair-fold in the Horner recombination stay below 2^32 for
+contraction lengths n2 ≤ 512 — enforced in build_mxu_tables), then
+recombined with a Horner sweep mod p on the VPU
+(Q_s = Σ_{a+b=s} C_ab; x = Σ_s 128^s·Q_s mod p).
 
 This realizes the reference's "Tensor Core Acceleration" future-work item
 (docs/NTT_OPTIMIZATION.md:306-314) the TPU way.
@@ -85,7 +87,6 @@ def _limbs_host(mat: np.ndarray) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _build_host(n: int, n1: int, prime_tuple: tuple[int, ...]):
     n2 = n // n1
-    ks = len(prime_tuple)
     rows = {f: [] for f in ("v", "w", "t", "ts", "vi", "wi", "ti", "tis")}
     for p in prime_tuple:
         psi = _primes.negacyclic_psi(n, p)
@@ -178,11 +179,22 @@ def build_mxu_tables(n: int, primes_list, n1: int | None = None) -> MXUNTTTables
     if n1 is None:
         n1 = 128 if n >= 16384 else max(64, min(128, 1 << ((n.bit_length() - 1) // 2)))
     primes_t = tuple(int(p) for p in primes_list)
+    n2 = n // n1
+    # Horner fold bound: the worst folded diagonal is Q_2 + 128*Q_3 =
+    # 515 * 127^2 * n2, which must stay below 2^32 -> n2 <= 512.
+    if n2 > 512:
+        raise ValueError(
+            f"contraction length n2 = {n2} overflows the uint32 diagonal "
+            f"fold (max 512); pick a larger n1 for n = {n}")
+    for p in primes_t:
+        if not (1 << 29) < p < (1 << 30):
+            raise ValueError(f"MXU engine needs 30-bit primes, got {p}")
     host = _build_host(n, n1, primes_t)
-    from .ntt import build_tables
-    base = build_tables(n, primes_t)
     return MXUNTTTables(
-        p=base.p, mu=base.mu, n1=n1, n2=n // n1,
+        p=jnp.asarray(np.array(primes_t, dtype=_U)),
+        mu=jnp.asarray(np.array([mm.barrett_precompute(p) for p in primes_t],
+                                dtype=_U)),
+        n1=n1, n2=n2,
         v_limbs=jnp.asarray(host["v"]),
         w_limbs=jnp.asarray(host["w"]),
         t_mid=jnp.asarray(host["t"]),

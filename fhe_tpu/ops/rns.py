@@ -308,7 +308,6 @@ class DecryptConsts(NamedTuple):
     neg_inv_q_g: jax.Array      # []  [-q^-1]_gamma
     inv_gamma_t: jax.Array      # []  gamma^-1 mod t
     gamma_mu: jax.Array         # []  Barrett mu for gamma
-    t_mu: jax.Array             # []  Barrett mu for t? (t < 2^29: use fermat path)
 
 
 @functools.lru_cache(maxsize=None)
@@ -327,7 +326,6 @@ def _decrypt_host(src: tuple[int, ...], t: int, gamma: int):
         neg_inv_q_g=np.uint32((-pow(Q, -1, gamma)) % gamma),
         inv_gamma_t=np.uint32(pow(gamma, -1, t)),
         gamma_mu=np.uint32(mm.barrett_precompute(gamma)),
-        t_mu=np.uint32(0),
     )
 
 

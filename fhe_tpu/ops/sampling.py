@@ -81,9 +81,34 @@ def ternary_rns(key, primes_arr, batch: int, n: int,
     k_pos, k_sign = jax.random.split(key)
     # A uniform random h-subset of positions = the argtop-h of i.i.d. random
     # keys (TPU-friendly: top_k beats the full sort a permutation would
-    # lower to by ~20x at n = 8192).
-    scores = jax.random.bits(k_pos, (batch, n), dtype=jnp.uint32)
-    _, idx = jax.lax.top_k(scores, hamming_weight)   # [batch, h]
+    # lower to by ~20x at n = 8192).  32-bit score ties at the h-th boundary
+    # would bias selection toward lower indices (top_k tie-breaks by index),
+    # so boundary ties are rejection-resampled (P ~ h*n/2^32 per draw).
+    h = hamming_weight
+
+    def draw(k):
+        s = jax.random.bits(k, (batch, n), dtype=jnp.uint32)
+        v, i = jax.lax.top_k(s, h)
+        # a tie straddles the boundary iff the h-th value also appears
+        # outside the selected set: multiplicity(v[h-1]) > count inside
+        boundary = v[:, h - 1:h]                       # [batch, 1]
+        total = jnp.sum((s == boundary).astype(jnp.int32), axis=1)
+        inside = jnp.sum((v == boundary).astype(jnp.int32), axis=1)
+        return i, jnp.any(total != inside)
+
+    def cond(carry):
+        _, bad, _ = carry
+        return bad
+
+    def body(carry):
+        _, _, k = carry
+        k, sub = jax.random.split(k)
+        i, bad = draw(sub)
+        return i, bad, k
+
+    k0, kloop = jax.random.split(k_pos)
+    idx0, bad0 = draw(k0)
+    idx, _, _ = jax.lax.while_loop(cond, body, (idx0, bad0, kloop))
     signs = jax.random.rademacher(k_sign, (batch, hamming_weight),
                                   dtype=jnp.int32)
     v = jnp.zeros((batch, n), jnp.int32)
