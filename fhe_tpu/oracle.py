@@ -550,12 +550,24 @@ class BGVOracle(BFVOracle):
                        [self.t * c % self.q for c in e2])
         return [c0, c1]
 
-    def decrypt(self, ct, s, scale_t: int = 1) -> list[int]:
+    def decrypt(self, ct, s, scale_t: int = 1, q: int | None = None) -> list[int]:
         """scale_t: accumulated mod-switch correction factor (SEAL-style);
         each dropped prime q_last multiplies the underlying plaintext by
-        q_last^-1 mod t, so decrypt multiplies back by scale_t = prod(dropped)."""
-        x = self.ct_eval_at_s(ct, s)
-        return [center(c, self.q) * scale_t % self.t for c in x]
+        q_last^-1 mod t, so decrypt multiplies back by scale_t = prod(dropped).
+
+        q: the ciphertext modulus when it differs from self.q — REQUIRED for
+        the output of mod_switch_drop_last (pass q = self.q // q_last and the
+        secret reduced mod it); phase evaluation and centering then run mod
+        the shrunk modulus, matching the device's per-level constants."""
+        q_eff = self.q if q is None else q
+        acc = [c % q_eff for c in ct[0]]
+        spow = [c % q_eff for c in s]
+        s_red = list(spow)
+        for comp in ct[1:]:
+            prod = negacyclic_mul_mod([c % q_eff for c in comp], spow, q_eff)
+            acc = [(x + y) % q_eff for x, y in zip(acc, prod)]
+            spow = negacyclic_mul_mod(spow, s_red, q_eff)
+        return [center(c, q_eff) * scale_t % self.t for c in acc]
 
     def noise_of(self, ct, s, m_poly) -> int:
         """Infinity norm of t*e where ct(s) = m + t*e (mod q), centered."""

@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import modmath as mm
 from ..ops.ntt import NTTTables
@@ -90,9 +90,17 @@ def _inv_local_stages(a, tb: NTTTables, n: int, m_stop: int, s):
     return a
 
 
+def _check_shards(num_shards: int):
+    if num_shards & (num_shards - 1):
+        raise ValueError(
+            f"coeff axis size must be a power of two (got {num_shards}): "
+            "cross-shard butterfly pairing assumes power-of-two strides")
+
+
 def dist_ntt_forward(a_local, tb: NTTTables, n: int, num_shards: int,
                      axis: str = "coeff"):
     """shard_map body: forward NTT on block-sharded [k, B, n/P] residues."""
+    _check_shards(num_shards)
     s = lax.axis_index(axis)
     p3 = tb.p[:, None, None]
     m = 1
@@ -119,6 +127,7 @@ def dist_ntt_forward(a_local, tb: NTTTables, n: int, num_shards: int,
 def dist_ntt_inverse(a_local, tb: NTTTables, n: int, num_shards: int,
                      axis: str = "coeff"):
     """shard_map body: inverse NTT on block-sharded [k, B, n/P] residues."""
+    _check_shards(num_shards)
     s = lax.axis_index(axis)
     p3 = tb.p[:, None, None]
     # local GS stages first (m = n/2 .. P)
@@ -147,6 +156,7 @@ def make_distributed_polymul(mesh: Mesh, tb: NTTTables, n: int,
 
     Returns f(a, b) for [k, B, n] inputs sharded P(None, None, axis)."""
     num_shards = mesh.shape[axis]
+    _check_shards(num_shards)
     spec = P(None, None, axis)
     rep = P()  # fully replicated (valid for every table leaf rank)
 
@@ -160,15 +170,11 @@ def make_distributed_polymul(mesh: Mesh, tb: NTTTables, n: int,
     shmapped = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(spec, spec, rep),
+        in_specs=(spec, spec, rep),  # tables replicated via in_specs
         out_specs=spec,
     )
     return jax.jit(functools.partial(_apply3, shmapped, tb))
 
 
 def _apply3(f, tb, a, b):
-    return f(a, b, _replicate_tables(tb))
-
-
-def _replicate_tables(tb: NTTTables) -> NTTTables:
-    return tb
+    return f(a, b, tb)

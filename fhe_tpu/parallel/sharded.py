@@ -42,13 +42,20 @@ class ShardedFHE:
         return NamedSharding(self.mesh, P(self.axis, *([None] * (ndim - 1))))
 
     def shard(self, obj):
-        """Place any key/ciphertext pytree with its prime axis sharded."""
+        """Place any key/ciphertext object — or a container of them — with
+        its prime axis sharded.  Dispatches on the object type (not the
+        pytree leaf), so key material nested in tuples/dicts still gets the
+        digit-axis-aware layout."""
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(self.shard(o) for o in obj)
+        if isinstance(obj, dict):
+            return {k: self.shard(v) for k, v in obj.items()}
+        digit_major = isinstance(obj, (RelinKeys, GaloisKeys))
+
         def place(leaf):
             if hasattr(leaf, "ndim") and leaf.ndim >= 1:
-                # keys-with-digit-axis ([k_digit, k, 2, n]) shard axis 1;
-                # residue tensors ([k, ..., n]) shard axis 0
-                if isinstance(obj, RelinKeys) or (
-                        isinstance(obj, GaloisKeys)):
+                if digit_major:
+                    # keys-with-digit-axis ([k_digit, k, 2, n]): prime = axis 1
                     spec = P(None, self.axis, *([None] * (leaf.ndim - 2)))
                     return jax.device_put(leaf, NamedSharding(self.mesh, spec))
                 return jax.device_put(leaf, self._sharding(leaf.ndim))

@@ -18,9 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import primes as _primes
 from ..params import SchemeParams, SecurityParams, make_scheme_params
-from ..ops import modmath as mm
 from ..ops import ntt as _ntt
 from ..ops import ntt_pallas as _ntt_pl
 from ..ops import rns as _rns
@@ -121,22 +119,6 @@ def default_galois_elements(n: int) -> tuple[int, ...]:
 
 
 @functools.lru_cache(maxsize=None)
-def _context_host(params: SchemeParams):
-    """Host-side exact constant computation (cached per params)."""
-    t = params.t
-    q = params.q
-    delta = params.delta
-    delta_mod = [delta % p for p in params.q_primes]
-    inv_qhat = [pow(q // p, -1, p) for p in params.q_primes]
-    return {
-        "delta_mod_q": np.array(delta_mod, dtype=_U),
-        "delta_shoup": _rns._shoup_arr(delta_mod, params.q_primes),
-        "inv_qhat": np.array(inv_qhat, dtype=_U),
-        "inv_qhat_shoup": _rns._shoup_arr(inv_qhat, params.q_primes),
-    }
-
-
-@functools.lru_cache(maxsize=None)
 def _level_host(primes: tuple[int, ...], t: int):
     """(delta_L, delta_shoup, inv_qhat_L, inv_qhat_shoup) for one level."""
     import math as _math
@@ -161,7 +143,6 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
         params = make_scheme_params(SecurityParams(**security_kw))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and params.n >= 256
-    host = _context_host(params)
     n = params.n
     mod_switch = []
     dec_levels = []
@@ -202,14 +183,14 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
         ntt_q_pl=_ntt_pl.build_pallas_tables(n, params.q_primes) if use_pallas else None,
         ntt_bsk_pl=_ntt_pl.build_pallas_tables(n, params.bsk_primes) if use_pallas else None,
         use_pallas=use_pallas,
-        smq=_rns.make_sm_mrq(params.q_primes, params.bsk_primes, params.m_tilde),
-        floor_c=_rns.make_fast_floor(params.q_primes, params.bsk_primes),
-        sk_c=_rns.make_sk(params.aux_primes, params.m_sk, params.q_primes),
+        smq=smq_levels[0],
+        floor_c=floor_levels[0],
+        sk_c=sk_levels[0],
         dec_c=dec_levels[0],
-        delta_mod_q=jnp.asarray(host["delta_mod_q"]),
-        delta_shoup=jnp.asarray(host["delta_shoup"]),
-        inv_qhat=jnp.asarray(host["inv_qhat"]),
-        inv_qhat_shoup=jnp.asarray(host["inv_qhat_shoup"]),
+        delta_mod_q=delta_levels[0][0],
+        delta_shoup=delta_levels[0][1],
+        inv_qhat=inv_qhat_levels[0][0],
+        inv_qhat_shoup=inv_qhat_levels[0][1],
         mod_switch=tuple(mod_switch),
         dec_levels=tuple(dec_levels),
         bgv_dec_levels=tuple(bgv_dec_levels),

@@ -30,13 +30,13 @@ from .types import Plaintext
 
 @functools.lru_cache(maxsize=None)
 def _slot_maps(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """(encode_positions [n], decode_positions [n]) between slot order and
-    NTT output order (oracle.slot_orbit_indices is the spec)."""
+    """(encode_positions, decode_positions), both [n] — the SAME permutation:
+    encode scatters slot j to evaluation position enc[j], decode gathers from
+    the identical positions, so scatter-then-gather round-trips exactly
+    (oracle.slot_orbit_indices is the spec)."""
     row0, row1 = _oracle.slot_orbit_indices(n)
     enc = np.array(row0 + row1, dtype=np.int32)      # slot j -> eval position
-    dec = np.empty(n, dtype=np.int32)
-    dec_positions = enc                              # decode gathers eval[enc[j]]
-    return enc, dec_positions
+    return enc, enc
 
 
 class BatchEncoder:
@@ -63,9 +63,11 @@ class BatchEncoder:
         return jnp.take(evals, self._dec_pos)
 
     def encode(self, values) -> Plaintext:
-        """values: up to n integers (row-major over the 2 x n/2 matrix)."""
+        """values: up to n integers (row-major over the 2 x n/2 matrix).
+        Negative values encode as their representative mod t (signed int64
+        intermediate: uint64 would wrap -1 to 2^64-1 ≡ 1 mod 65537)."""
         vals = np.zeros(self.n, dtype=np.uint32)
-        arr = np.asarray(values, dtype=np.uint64) % self.t
+        arr = np.asarray(values, dtype=np.int64) % self.t
         vals[: len(arr)] = arr.astype(np.uint32)
         return Plaintext(data=self._encode_j(jnp.asarray(vals)))
 
@@ -79,7 +81,7 @@ def encode_coeff(params: SchemeParams, values) -> Plaintext:
     value i -> coefficient of x^i.  Multiplication then gives negacyclic
     convolution, not slot-wise products."""
     vals = np.zeros(params.n, dtype=np.uint32)
-    arr = np.asarray(values, dtype=np.uint64) % params.t
+    arr = np.asarray(values, dtype=np.int64) % params.t
     vals[: len(arr)] = arr.astype(np.uint32)
     return Plaintext(data=jnp.asarray(vals))
 

@@ -60,9 +60,11 @@ def _load() -> ctypes.CDLL | None:
                 continue
             try:
                 lib = ctypes.CDLL(str(path))
-            except OSError:
+                _bind(lib)  # AttributeError on stale/partial ABI -> skip
+                if lib.fhe_version() < 1:
+                    continue
+            except (OSError, AttributeError):
                 continue
-            _bind(lib)
             _lib = lib
             break
         return _lib

@@ -30,7 +30,8 @@ FORMAT_VERSION = 1
 # type tag -> (class, static metadata fields)
 _TYPES: dict[str, tuple[type, tuple[str, ...]]] = {
     "Plaintext": (Plaintext, ("is_ntt_form",)),
-    "Ciphertext": (Ciphertext, ("level", "is_ntt_form", "noise_budget")),
+    "Ciphertext": (Ciphertext, ("level", "is_ntt_form", "noise_budget",
+                                "scale_t")),
     "PublicKey": (PublicKey, ()),
     "SecretKey": (SecretKey, ()),
     "RelinKeys": (RelinKeys, ()),

@@ -189,3 +189,15 @@ def test_multiply_rejects_three_components(fhe, keys):
     assert ct3.num_components == 3
     with pytest.raises(ValueError):
         fhe.multiply_no_relin(ct3, ct)
+
+
+def test_encode_negative_values(fhe, keys):
+    """Signed plaintexts: -1 must encode as t-1, not wrap through uint64
+    (review finding: 2^64 = 1 mod 65537 made -1 encode as 0)."""
+    import numpy as np
+    pk, sk, _ = keys
+    t = PARAMS.t
+    for vals in ([-1, -2, 5], np.array([-1, -2, 5], dtype=np.int64)):
+        ct = fhe.encrypt(fhe.encode(vals), pk)
+        got = fhe.decode(fhe.decrypt(ct, sk))
+        assert list(got[:3]) == [t - 1, t - 2, 5]

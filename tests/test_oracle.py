@@ -272,3 +272,21 @@ def test_behz_multiply_matches_textbook_semantics():
     ct_mul = orc.relinearize(ct3, rlk)
     want = oracle.negacyclic_mul_mod(m1, m2, params.t)
     assert orc.decrypt(ct_mul, sk) == want
+
+
+def test_bgv_oracle_mod_switch_decrypt():
+    """BGVOracle.decrypt(q=...) must decrypt the output of its own
+    mod_switch_drop_last (review finding: it used to reduce mod full q)."""
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+
+    params = make_scheme_params(
+        SecurityParams(poly_degree=64, log_q=120, hamming_weight=8))
+    o = oracle.BGVOracle(params, seed=6)
+    pk, s = o.keygen()
+    m = [7, 11, 13] + [0] * 61
+    ct = o.encrypt(pk, m)
+    ct2 = o.mod_switch_drop_last(ct)
+    q_last = params.q_primes[-1]
+    got = o.decrypt(ct2, s, scale_t=q_last % params.t,
+                    q=params.q // q_last)
+    assert got == [c % params.t for c in m]

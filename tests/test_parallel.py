@@ -136,3 +136,30 @@ def test_sharded_fhe_wrapper(eight_devices):
     assert list(got[:2]) == [10, 21]
     ref = fhe.multiply(ct1, ct2, rlk)
     np.testing.assert_array_equal(np.asarray(out.data), np.asarray(ref.data))
+
+
+def test_sharded_container_dispatch(eight_devices):
+    """shard() on containers must keep the digit-axis layout for key
+    material nested inside (review finding)."""
+    from fhe_tpu.parallel.sharded import ShardedFHE
+
+    params = make_scheme_params(
+        SecurityParams(poly_degree=128, log_q=240, hamming_weight=16))
+    fhe = FHE(params, seed=31)
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    mesh = _mesh.make_mesh({"rns": 8}, eight_devices)
+    sfhe = ShardedFHE(fhe, mesh)
+    bundle = sfhe.shard({"rlk": rlk, "pair": (pk, sk)})
+    direct = sfhe.shard(rlk)
+    assert bundle["rlk"].data.sharding == direct.data.sharding
+    assert bundle["pair"][0].data.sharding == sfhe.shard(pk).data.sharding
+
+
+def test_distributed_ntt_rejects_non_power_of_two(eight_devices):
+    import pytest as _pytest
+    ps = primes.find_ntt_primes(256, 1)
+    tb = _ntt.build_tables(256, ps)
+    mesh = _mesh.make_mesh({"coeff": 6}, eight_devices[:6])
+    with _pytest.raises(ValueError, match="power of two"):
+        dntt.make_distributed_polymul(mesh, tb, 256)

@@ -67,3 +67,18 @@ def test_rejects_slash_names(tmp_path, small_fhe):
     fhe, pk, *_ = small_fhe
     with pytest.raises(ValueError):
         serialize.save(tmp_path / "x.npz", {"a/b": pk})
+
+
+def test_ciphertext_scale_t_roundtrips(tmp_path):
+    """BGV mod-switched ciphertexts carry scale_t; dropping it on save/load
+    silently corrupts decryption (review finding)."""
+    fhe = FHE(poly_degree=256, log_q=90, seed=12, scheme="bgv")
+    pk, sk = fhe.keygen()
+    ct = fhe.mod_switch_to_next(fhe.encrypt(fhe.encode([41, 42]), pk))
+    assert ct.scale_t != 1
+    path = tmp_path / "bgv_ct.npz"
+    serialize.save(path, {"ct": ct, "sk": sk})
+    out = serialize.load(path)
+    assert out["ct"].scale_t == ct.scale_t
+    got = fhe.decode(fhe.decrypt(out["ct"], out["sk"]))
+    assert list(got[:2]) == [41, 42]
