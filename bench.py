@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -53,7 +52,7 @@ def bench_chain(step, x, iters=50, lo=5):
 
 
 def main():
-    from fhe_tpu import FHE, primes
+    from fhe_tpu import FHE
     from fhe_tpu.params import SecurityParams, make_scheme_params
     from fhe_tpu.ops import ntt as _ntt
     from fhe_tpu.scheme import bfv
@@ -146,8 +145,10 @@ def main():
     # lowering count as 1 vector op each + 1 mulhi = 4 muls) + 3 cheap ops.
     from fhe_tpu.ops import modmath as mmx
     big_x = jnp.tile(ct1.data[:, :1, :], (1, 256, 1))      # [3, 256, 8192]
-    w = fhe.ctx.ntt_q.psi_br[:, None, :1]
-    ws = fhe.ctx.ntt_q.psi_br_shoup[:, None, :1]
+    # index 1 = psi^(n/2), a non-trivial constant (index 0 is psi^0 = 1,
+    # which XLA would constant-fold away, inflating the measurement)
+    w = fhe.ctx.ntt_q.psi_br[:, None, 1:2]
+    ws = fhe.ctx.ntt_q.psi_br_shoup[:, None, 1:2]
     p3 = fhe.ctx.ntt_q.p[:, None, None]
     modmul_s = bench_chain(
         lambda v: mmx.mul_mod_shoup(v, w, ws, p3), big_x, iters=205)

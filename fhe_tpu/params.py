@@ -101,12 +101,16 @@ _MAX_LOGQ_128 = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438,
 
 
 def security_margin(security: SecurityParams) -> int | None:
-    """max-secure log q minus requested log q at lambda=128 (negative =
-    parameters are below 128-bit security); None if n is off-table."""
+    """max-secure log q minus the REALIZED modulus size at lambda=128
+    (negative = parameters are below 128-bit security); None if n is
+    off-table.  The realized modulus is k primes of PRIME_BITS each —
+    ceil(log_q/30) rounded up, floored at 2 — which can exceed the
+    requested log_q substantially."""
     cap = _MAX_LOGQ_128.get(security.poly_degree)
     if cap is None:
         return None
-    return cap - security.log_q
+    k = max(2, math.ceil(security.log_q / PRIME_BITS))
+    return cap - k * PRIME_BITS
 
 
 @functools.lru_cache(maxsize=None)
@@ -123,12 +127,14 @@ def make_scheme_params(security: SecurityParams = SecurityParams()) -> SchemePar
     margin = security_margin(security)
     if margin is not None and margin < 0 and security.lambda_ >= 128:
         import warnings
+        k_req = max(2, math.ceil(security.log_q / PRIME_BITS))
         warnings.warn(
-            f"parameters (n={n}, log_q={security.log_q}) fall below the "
-            f"requested {security.lambda_}-bit security level (max log_q "
-            f"for n={n} is {_MAX_LOGQ_128[n]}); the reference's own default "
-            "(n=4096, log_q=120) has the same issue — use n=8192 or a "
-            "smaller modulus for production",
+            f"parameters (n={n}, log_q={security.log_q} -> realized "
+            f"~{k_req * PRIME_BITS} bits over {k_req} primes) fall below "
+            f"the requested {security.lambda_}-bit security level (max "
+            f"log_q for n={n} is {_MAX_LOGQ_128[n]}); the reference's own "
+            "default (n=4096, log_q=120) has the same issue — use n=8192 "
+            "or a smaller modulus for production",
             stacklevel=2)
     t = 65537
     if (t - 1) % (2 * n) != 0:
@@ -136,7 +142,9 @@ def make_scheme_params(security: SecurityParams = SecurityParams()) -> SchemePar
     k = max(2, math.ceil(security.log_q / PRIME_BITS))
     # Aux basis must give the tensor product headroom:
     #   prod(q ∪ B ∪ {m_sk}) > 4 * t * n * q^2, i.e. B*m_sk > 4*t*n*q.
-    # l = k suffices for n <= 8192; n = 16384 needs one extra aux prime.
+    # The loop below sizes l exactly; for typical parameter sets it lands on
+    # l = k + 1 (the conservative 2^29 lower bound per prime is within a bit
+    # of the requirement at l = k — do NOT shortcut this to l = k).
     l = k
     while (1 << (29 * l + 29)) <= 4 * t * n * (1 << (PRIME_BITS * k)):
         l += 1

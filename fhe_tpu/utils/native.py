@@ -114,7 +114,9 @@ def is_prime(n: int) -> bool | None:
 def find_ntt_primes(n: int, count: int, bits: int,
                     exclude: tuple[int, ...]) -> list[int] | None:
     lib = _load()
-    if lib is None:
+    # bits >= 32 would overflow the C path's u32 outputs (and 1<<64 is UB);
+    # let the arbitrary-precision Python fallback handle it
+    if lib is None or not (2 <= bits <= 31):
         return None
     excl = np.asarray(exclude, dtype=np.uint64)
     out = np.zeros(count, dtype=np.uint64)
@@ -141,7 +143,7 @@ def build_ntt_tables(n: int, p: int):
     """Returns (psi_br, psi_br_shoup, ipsi_br, ipsi_br_shoup, n_inv,
     n_inv_shoup) as numpy arrays/ints, or None when unavailable."""
     lib = _load()
-    if lib is None:
+    if lib is None or p >= 1 << 32:   # u32 table entries would truncate
         return None
     u32p = ctypes.POINTER(ctypes.c_uint32)
     tabs = [np.empty(n, dtype=np.uint32) for _ in range(4)]

@@ -39,7 +39,10 @@ u64 fhe_pow_mod(u64 base, u64 exp, u64 m) {
 }
 
 // Modular inverse via extended Euclid; returns 0 if not invertible.
+// Restricted to m < 2^63: the signed-arithmetic Euclid below would compute
+// garbage on larger moduli (the library only ever uses word-size moduli).
 u64 fhe_mod_inverse(u64 a, u64 m) {
+    if (m >= (1ull << 63)) return 0;
     int64_t t = 0, newt = 1;
     int64_t r = (int64_t)m, newr = (int64_t)(a % m);
     while (newr != 0) {

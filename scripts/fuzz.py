@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Randomized-circuit fuzzer: long-running correctness hunt.
+
+Generates random homomorphic circuits (add/sub/mul/plain ops/rotations/
+mod-switch) over random parameter sets and both schemes, tracking a plaintext
+slot model; any mismatch (with positive measured noise budget) is a
+correctness bug.  The pytest suite runs a handful of fixed seeds
+(tests/test_property_chains.py); this script runs until interrupted or
+--iterations, printing one line per circuit.
+
+    JAX_PLATFORMS=cpu python scripts/fuzz.py --iterations 50
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_circuit(seed: int) -> tuple[bool, str]:
+    import jax
+    from fhe_tpu import FHE
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+
+    rng = np.random.default_rng(seed)
+    scheme = rng.choice(["bfv", "bgv"])
+    n = int(rng.choice([128, 256, 512]))
+    log_q = int(rng.choice([120, 150, 180]))
+    hw = int(rng.choice([8, 16, 32]))
+    params = make_scheme_params(
+        SecurityParams(poly_degree=n, log_q=log_q, hamming_weight=hw))
+    t = params.t
+    half = params.slot_count
+    fhe = FHE(params, seed=seed, scheme=str(scheme))
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    gal = fhe.galoiskey_gen(sk)
+
+    def rot_model(vec, steps):
+        r0, r1 = vec[:half], vec[half:]
+        return np.concatenate([np.roll(r0, -steps), np.roll(r1, -steps)])
+
+    def fresh():
+        v = rng.integers(0, t, size=2 * half).astype(np.int64)
+        return fhe.encrypt(fhe.encode(v), pk), v
+
+    ct, model = fresh()
+    level_budget = params.k - 1
+    mults = 0
+    max_mults = max(1, (log_q - 60) // 45)
+    ops_trace = []
+    n_ops = int(rng.integers(4, 12))
+    for _ in range(n_ops):
+        op = rng.choice(
+            ["add", "sub", "mul", "add_plain", "sub_plain", "mul_plain",
+             "rot_rows", "rot_cols", "mod_switch"])
+        try:
+            if op in ("add", "sub"):
+                other, ov = fresh()
+                other = fhe.mod_switch_to_level(other, ct.level)
+                if scheme == "bgv" and other.scale_t != ct.scale_t:
+                    continue
+                ct = fhe.add(ct, other) if op == "add" else fhe.sub(ct, other)
+                model = (model + ov) % t if op == "add" else (model - ov) % t
+            elif op == "mul":
+                if mults >= max_mults:
+                    continue
+                other, ov = fresh()
+                other = fhe.mod_switch_to_level(other, ct.level)
+                if scheme == "bgv" and other.scale_t != ct.scale_t:
+                    continue
+                ct = fhe.multiply(ct, other, rlk)
+                model = (model * ov) % t
+                mults += 1
+            elif op in ("add_plain", "sub_plain", "mul_plain"):
+                pv = rng.integers(0, 30 if op == "mul_plain" else t,
+                                  size=2 * half).astype(np.int64)
+                pt = fhe.encode(pv)
+                if op == "add_plain":
+                    ct = fhe.add_plain(ct, pt)
+                    model = (model + pv) % t
+                elif op == "sub_plain":
+                    ct = fhe.sub_plain(ct, pt)
+                    model = (model - pv) % t
+                else:
+                    ct = fhe.multiply_plain(ct, pt)
+                    model = (model * pv) % t
+                    mults += 0  # plain mul grows noise but no level cost
+            elif op == "rot_rows":
+                steps = int(rng.integers(1, half))
+                ct = fhe.rotate_rows(ct, steps, gal)
+                model = rot_model(model, steps)
+            elif op == "rot_cols":
+                ct = fhe.rotate_columns(ct, gal)
+                model = np.concatenate([model[half:], model[:half]])
+            elif op == "mod_switch":
+                if ct.level >= level_budget:
+                    continue
+                ct = fhe.mod_switch_to_next(ct)
+            ops_trace.append(str(op))
+        except ValueError:
+            continue  # scale/level mismatch guards firing is fine
+
+    budget = fhe.estimate_noise_budget(ct, sk)
+    desc = (f"seed={seed} {scheme} n={n} logq={log_q} ops={ops_trace} "
+            f"budget={budget:.1f}")
+    if budget <= 0:
+        return True, desc + " [noise exhausted — skipped check]"
+    got = fhe.decode(fhe.decrypt(ct, sk)).astype(np.int64)
+    if not np.array_equal(got, model):
+        bad = np.nonzero(got != model)[0][:5]
+        return False, desc + f" MISMATCH at slots {bad.tolist()}"
+    return True, desc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=30)
+    ap.add_argument("--start-seed", type=int, default=1000)
+    args = ap.parse_args()
+
+    failures = 0
+    t0 = time.time()
+    for i in range(args.iterations):
+        seed = args.start_seed + i
+        ok, desc = run_circuit(seed)
+        print(("PASS " if ok else "FAIL ") + desc, flush=True)
+        failures += not ok
+    print(f"\n{args.iterations - failures}/{args.iterations} circuits OK "
+          f"in {time.time() - t0:.0f}s")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
