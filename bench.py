@@ -45,10 +45,17 @@ def bench_chain(step, x, iters=50, lo=5):
     """Per-op device time via the two-point slope: the host<->device tunnel
     adds a large constant per dispatch (~30 ms RPC round-trip on this setup),
     so  t_op = (T(iters) - T(lo)) / (iters - lo)  cancels it exactly.  The
-    chain has a data dependency, so ops cannot overlap."""
-    t_hi = _chain_total(step, x, iters)
-    t_lo = _chain_total(step, x, lo)
-    return max(t_hi - t_lo, 1e-9) / (iters - lo)
+    chain has a data dependency, so ops cannot overlap.
+
+    A non-positive slope means host jitter swamped the signal (e.g. a busy
+    CPU); retry a few times before reporting the floor."""
+    for _ in range(3):
+        t_hi = _chain_total(step, x, iters)
+        t_lo = _chain_total(step, x, lo)
+        slope = (t_hi - t_lo) / (iters - lo)
+        if slope > 0:
+            return slope
+    return 1e-9  # below measurement resolution
 
 
 def main():
@@ -99,7 +106,8 @@ def main():
     enc_key = jrandom.PRNGKey(42)
 
     def bench_keyed(step, iters, lo=5):
-        """Slope-timed chain of `step(key, carry) -> carry`."""
+        """Slope-timed chain of `step(key, carry) -> carry` (same retry
+        discipline as bench_chain)."""
         def total(it):
             def body(i, carry):
                 return step(jrandom.fold_in(enc_key, i), carry)
@@ -112,7 +120,11 @@ def main():
                 g(z).block_until_ready()
                 best = min(best, time.perf_counter() - t0)
             return best
-        return max(total(iters) - total(lo), 1e-9) / (iters - lo)
+        for _ in range(3):
+            slope = (total(iters) - total(lo)) / (iters - lo)
+            if slope > 0:
+                return slope
+        return 1e-9
 
     # encryption (reference headline: ~8 ms at n=8192, README perf table)
     enc_s = bench_keyed(
@@ -154,6 +166,20 @@ def main():
         lambda v: mmx.mul_mod_shoup(v, w, ws, p3), big_x, iters=205)
     modmuls_per_s = big_x.size / modmul_s
 
+    # BGV multiply (plain mod-q tensor product — no BEHZ rescale)
+    from fhe_tpu.scheme import bgv as _bgv
+    bfhe = FHE(params, seed=1, scheme="bgv")
+    bpk, bsk = bfhe.keygen()
+    brlk = bfhe.relinkey_gen(bsk)
+    bct1 = bfhe.encrypt(bfhe.encode([5, 10, 15, 20]), bpk)
+    bct2 = bfhe.encrypt(bfhe.encode([3, 6, 9, 12]), bpk)
+    bgv_mul_s = bench_chain(
+        lambda a: _bgv.multiply(bfhe.ctx, bct1.replace(data=a), bct2,
+                                brlk).data,
+        bct1.data, iters=85)
+    bgot = bfhe.decode(bfhe.decrypt(bfhe.multiply(bct1, bct2, brlk), bsk))
+    assert list(bgot[:4]) == [15, 60, 135, 240], bgot[:4]
+
     # correctness gate: the benchmark numbers only count if the math is right
     got = fhe.decode(fhe.decrypt(fhe.multiply(ct1, ct2, rlk), sk))
     assert list(got[:4]) == [15, 60, 135, 240], got[:4]
@@ -186,6 +212,9 @@ def main():
             "simd_vs_baseline": round((slot_count / enc_s) / 256000.0, 3),
             "modmul_per_s": round(modmuls_per_s, 1),
             "modmul_gops": round(modmuls_per_s / 1e9, 3),
+            "bgv_multiply_relin_ms": round(bgv_mul_s * 1e3, 4),
+            "bgv_multiply_vs_baseline": round(
+                BASELINE_MUL_MS / (bgv_mul_s * 1e3), 3),
             "device": str(jax.devices()[0]),
             "n": n,
             "rns_primes": params.k,
