@@ -20,6 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# The session TPU plugin ignores JAX_PLATFORMS; honor it explicitly (same
+# pattern as scripts/scaling_bench.py).  Without it the fuzzer runs on the
+# device backend — also valid (it then exercises the Pallas kernels) but
+# much slower through the dispatch tunnel.
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 
 def run_circuit(seed: int) -> tuple[bool, str]:
     import jax
