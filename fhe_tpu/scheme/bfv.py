@@ -628,7 +628,14 @@ def bootstrap(ctx: SchemeContext, key: jax.Array, ct: Ciphertext,
 
 def estimate_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> float:
     """Exact remaining noise budget in bits: log2(q/(2t)) - log2(||v||_inf),
-    computed host-side via CRT (the only big-int step, diagnostic only)."""
+    computed host-side via CRT (the only big-int step, diagnostic only).
+
+    Caveat: v is measured against the DECRYPTED plaintext.  Once the true
+    noise exceeds the decryption bound, decryption flips to a wrong value
+    and the residual against it can still be small — the estimate can read
+    as a small positive number for an already-corrupted ciphertext.  Treat
+    budgets under ~2 bits as unreliable (same semantics as the reference's
+    declared sk-taking estimator, include/fhe.cuh:122)."""
     p = ctx.params
     level = ct.level
     primes_l = p.q_primes[: ctx.k - level]

@@ -117,9 +117,13 @@ def run_circuit(seed: int) -> tuple[bool, str]:
 
     budget = fhe.estimate_noise_budget(ct, sk)
     desc = (f"seed={seed} {scheme} n={n} logq={log_q} ops={ops_trace} "
-            f"budget={budget:.1f}")
-    if budget <= 0:
-        return True, desc + " [noise exhausted — skipped check]"
+            f"budget={budget:.2f}")
+    # Once the true noise crosses the decryption bound the estimator measures
+    # the residual against the WRONG decrypted value and can read as a small
+    # positive number (verified on seed 3009: reported 0.006 bits, true noise
+    # 2^58 vs bound 2^43) — treat anything under 2 bits as exhausted.
+    if budget < 2.0:
+        return True, desc + " [noise (near-)exhausted — skipped check]"
     got = fhe.decode(fhe.decrypt(ct, sk)).astype(np.int64)
     if not np.array_equal(got, model):
         bad = np.nonzero(got != model)[0][:5]
