@@ -58,6 +58,29 @@ def bench_chain(step, x, iters=50, lo=5):
     return 1e-9  # below measurement resolution
 
 
+def _count_hlo_ops(fn, x):
+    """(n_multiplies, n_cheap_ops) per element in the compiled HLO of fn(x),
+    counting only full-tensor vector ops (broadcast-constant prep excluded by
+    the shape filter)."""
+    import re
+
+    k, b, n = x.shape
+    tag = f"u32[{k},{b},{n}]"
+    txt = jax.jit(fn).lower(x).compile().as_text()
+    cheap = {"add", "subtract", "and", "or", "xor", "shift-left",
+             "shift-right-logical", "shift-right-arithmetic", "select",
+             "compare"}
+    n_mul = n_cheap = 0
+    for m in re.finditer(
+            re.escape(tag) + r"[^\s]*\s+([a-z\-]+)\(", txt):
+        op = m.group(1)
+        if op == "multiply":
+            n_mul += 1
+        elif op in cheap:
+            n_cheap += 1
+    return n_mul, n_cheap
+
+
 def main():
     from fhe_tpu import FHE
     from fhe_tpu.params import SecurityParams, make_scheme_params
@@ -163,8 +186,25 @@ def main():
     ws = fhe.ctx.ntt_q.psi_br_shoup[:, None, 1:2]
     p3 = fhe.ctx.ntt_q.p[:, None, None]
     modmul_s = bench_chain(
-        lambda v: mmx.mul_mod_shoup(v, w, ws, p3), big_x, iters=205)
+        lambda v: mmx.mul_mod_shoup(v, w, ws, p3), big_x, iters=505, lo=25)
     modmuls_per_s = big_x.size / modmul_s
+
+    # -- VPU roofline (BASELINE.md north star: >= 80% of modmul roofline) ----
+    # Peak VPU issue rate (vector u32 ops/s), analytic with stated
+    # assumptions: 8x128 = 1024 lanes x 4 independent ALUs per lane x the
+    # TensorCore clock.  The v5e clock is derived from the public per-chip
+    # peak (197 bf16 TFLOP/s over 4 MXUs of 128x128 MACs, 2 flops each):
+    # 197e12 / (4*128*128*2) = 1.50 GHz.  One Shoup modmul compiles to
+    # exactly n_mul + n_cheap single-slot vector ops (counted from the
+    # optimized HLO, not assumed), so the roofline rate is peak / op_count.
+    # The model charges multiplies one ALU slot; if the hardware multiplier
+    # is slower than 1/lane/cycle the bound is optimistic, which only
+    # understates our percentage.
+    VPU_PEAK_OPS = 1024 * 4 * 1.50e9          # 6.14e12 vector ops/s
+    n_mul, n_cheap = _count_hlo_ops(
+        lambda v: mmx.mul_mod_shoup(v, w, ws, p3), big_x)
+    roofline_modmuls = VPU_PEAK_OPS / (n_mul + n_cheap)
+    roofline_pct = 100.0 * modmuls_per_s / roofline_modmuls
 
     # BGV multiply (plain mod-q tensor product — no BEHZ rescale)
     from fhe_tpu.scheme import bgv as _bgv
@@ -212,6 +252,9 @@ def main():
             "simd_vs_baseline": round((slot_count / enc_s) / 256000.0, 3),
             "modmul_per_s": round(modmuls_per_s, 1),
             "modmul_gops": round(modmuls_per_s / 1e9, 3),
+            "modmul_roofline_pct": round(roofline_pct, 1),
+            "modmul_roofline_gops": round(roofline_modmuls / 1e9, 1),
+            "modmul_hlo_op_mix": [n_mul, n_cheap],
             "bgv_multiply_relin_ms": round(bgv_mul_s * 1e3, 4),
             "bgv_multiply_vs_baseline": round(
                 BASELINE_MUL_MS / (bgv_mul_s * 1e3), 3),

@@ -99,6 +99,18 @@ def mul_mod_shoup(x, w, w_shoup, p):
     return jnp.where(r >= p, r - p, r)
 
 
+def reduce_mod_shoup(x, p, one_shoup):
+    """x mod p for ANY uint32 x and any p < 2^31; one_shoup = floor(2^32/p).
+
+    This is mul_mod_shoup with w = 1: r = x - floor(x*2^32/p / 2^32)*p lands
+    in [0, 2p), one conditional subtract finishes.  The generic small-modulus
+    reduction used by the arbitrary-t decryption path (the t = 65537 case has
+    the cheaper Fermat fold, reduce_mod_fermat16)."""
+    q = umul32_hi(x, one_shoup)
+    r = x - q * p
+    return jnp.where(r >= p, r - p, r)
+
+
 def mul_mod_shoup_lazy(x, w, w_shoup, p):
     """Same but returns r in [0, 2p) — for lazy-reduction butterfly chains."""
     q = umul32_hi(x, w_shoup)

@@ -180,8 +180,9 @@ def build_mxu_tables(n: int, primes_list, n1: int | None = None) -> MXUNTTTables
         n1 = 128 if n >= 16384 else max(64, min(128, 1 << ((n.bit_length() - 1) // 2)))
     primes_t = tuple(int(p) for p in primes_list)
     n2 = n // n1
-    # Horner fold bound: the worst folded diagonal is Q_2 + 128*Q_3 =
-    # 515 * 127^2 * n2, which must stay below 2^32 -> n2 <= 512.
+    # Horner fold bound: the worst folded diagonal is Q_4 + 128*Q_5 =
+    # 517 * 127^2 * n2, which must stay below 2^32 -> n2 <= 512 (at n2 = 512
+    # the value is ~4.269e9, a 0.6% margin under 2^32).
     if n2 > 512:
         raise ValueError(
             f"contraction length n2 = {n2} overflows the uint32 diagonal "

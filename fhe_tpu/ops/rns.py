@@ -303,10 +303,15 @@ class DecryptConsts(NamedTuple):
     t: jax.Array                # []
     gamma: jax.Array            # []
     phat_mod_t: jax.Array       # [k]
+    phat_shoup_t: jax.Array     # [k]  Shoup companions mod t (generic-t path)
     phat_mod_g: jax.Array       # [k]
     neg_inv_q_t: jax.Array      # []  [-q^-1]_t
+    neg_inv_q_t_shoup: jax.Array
     neg_inv_q_g: jax.Array      # []  [-q^-1]_gamma
     inv_gamma_t: jax.Array      # []  gamma^-1 mod t
+    inv_gamma_t_shoup: jax.Array
+    gamma_mod_t: jax.Array      # []  [gamma]_t
+    one_shoup_t: jax.Array      # []  floor(2^32/t): generic u32 mod-t reduce
     gamma_mu: jax.Array         # []  Barrett mu for gamma
 
 
@@ -314,34 +319,47 @@ class DecryptConsts(NamedTuple):
 def _decrypt_host(src: tuple[int, ...], t: int, gamma: int):
     Q = math.prod(src)
     gt_inv = [gamma * t % p * pow(Q // p, -1, p) % p for p in src]
+    phat_t = [(Q // p) % t for p in src]
+    neg_inv_q_t = (-pow(Q, -1, t)) % t
+    inv_gamma_t = pow(gamma, -1, t)
     return dict(
         p_src=np.array(src, dtype=_U),
         gt_inv_phat=np.array(gt_inv, dtype=_U),
         gt_inv_phat_shoup=_shoup_arr(gt_inv, src),
         t=np.uint32(t),
         gamma=np.uint32(gamma),
-        phat_mod_t=np.array([(Q // p) % t for p in src], dtype=_U),
+        phat_mod_t=np.array(phat_t, dtype=_U),
+        phat_shoup_t=_shoup_arr(phat_t, [t] * len(src)),
         phat_mod_g=np.array([(Q // p) % gamma for p in src], dtype=_U),
-        neg_inv_q_t=np.uint32((-pow(Q, -1, t)) % t),
+        neg_inv_q_t=np.uint32(neg_inv_q_t),
+        neg_inv_q_t_shoup=np.uint32(mm.shoup_precompute(neg_inv_q_t, t)),
         neg_inv_q_g=np.uint32((-pow(Q, -1, gamma)) % gamma),
-        inv_gamma_t=np.uint32(pow(gamma, -1, t)),
+        inv_gamma_t=np.uint32(inv_gamma_t),
+        inv_gamma_t_shoup=np.uint32(mm.shoup_precompute(inv_gamma_t, t)),
+        gamma_mod_t=np.uint32(gamma % t),
+        one_shoup_t=np.uint32(mm.shoup_precompute(1, t)),
         gamma_mu=np.uint32(mm.barrett_precompute(gamma)),
     )
 
 
 def make_decrypt(src_primes, t: int, gamma: int) -> DecryptConsts:
-    if t != 65537:
-        raise NotImplementedError(
-            "decrypt_scale uses the Fermat-prime fast path; t must be 65537"
-        )
+    if not (65537 <= t < (1 << 29)):
+        raise ValueError(
+            f"decrypt_scale needs 65537 <= t < 2^29, got {t} (see params.py)")
     host = _decrypt_host(tuple(int(p) for p in src_primes), t, gamma)
     return DecryptConsts(**{f: jnp.asarray(v) for f, v in host.items()})
 
 
-def decrypt_scale(x: jax.Array, dc: DecryptConsts) -> jax.Array:
+def decrypt_scale(x: jax.Array, dc: DecryptConsts,
+                  fermat: bool = False) -> jax.Array:
     """x: [k, B, n] residues of the phase c0 + c1*s (+...), coefficient domain.
     Returns [B, n] uint32 plaintext coefficients mod t.  Bit-exact with
-    oracle.decrypt_scale_gamma (t = 65537 Fermat path)."""
+    oracle.decrypt_scale_gamma for any valid t.
+
+    fermat=True selects the t = 65537 fast path (2^16 ≡ -1 folds instead of
+    Shoup multiplies in the t lane); it must only be set when the constants
+    were built with t = 65537.  The flag is static: callers pass
+    ``params.t == 65537`` so each trace picks one lane implementation."""
     p = dc.p_src[:, None, None]
     # digits of [gamma*t*x]_q: z_i = [x_i * gamma*t*(q/q_i)^-1]_{q_i}
     z = mm.mul_mod_shoup(x, dc.gt_inv_phat[:, None, None],
@@ -350,32 +368,38 @@ def decrypt_scale(x: jax.Array, dc: DecryptConsts) -> jax.Array:
     # accumulate into the t and gamma lanes
     t = dc.t
     g = dc.gamma
+    if fermat:
+        mul_t = lambda a, i: mm.mul_mod_fermat16(
+            mm.reduce_mod_fermat16(a), dc.phat_mod_t[i])
+        scale_t = lambda a, w, ws: mm.mul_mod_fermat16(a, w)
+        red_t = mm.reduce_mod_fermat16
+    else:
+        mul_t = lambda a, i: mm.mul_mod_shoup(
+            a, dc.phat_mod_t[i], dc.phat_shoup_t[i], t)
+        scale_t = lambda a, w, ws: mm.mul_mod_shoup(a, w, ws, t)
+        red_t = lambda a: mm.reduce_mod_shoup(a, t, dc.one_shoup_t)
     acc_t = jnp.zeros_like(z[0])
     acc_g = jnp.zeros_like(z[0])
     for i in range(k):
-        acc_t = mm.add_mod(
-            acc_t,
-            mm.mul_mod_fermat16(mm.reduce_mod_fermat16(z[i]), dc.phat_mod_t[i]),
-            t,
-        )
+        acc_t = mm.add_mod(acc_t, mul_t(z[i], i), t)
         acc_g = mm.add_mod(
             acc_g,
             mm.mul_mod_barrett(mm.barrett_reduce_u32(z[i], g, dc.gamma_mu),
                                dc.phat_mod_g[i], g, dc.gamma_mu),
             g,
         )
-    s_t = mm.mul_mod_fermat16(acc_t, dc.neg_inv_q_t)
+    s_t = scale_t(acc_t, dc.neg_inv_q_t, dc.neg_inv_q_t_shoup)
     s_g = mm.mul_mod_barrett(acc_g, dc.neg_inv_q_g, g, dc.gamma_mu)
     # center s_g and correct: m = (s_t - e_hat) * gamma^-1 mod t
     e_pos = s_g <= (g >> 1)
-    # e_hat mod t: s_g (pos branch) or s_g - gamma (neg branch, add t*ceil to stay >= 0)
+    # e_hat mod t: s_g (pos branch) or s_g - gamma (neg branch)
     e_mod_t = jnp.where(
         e_pos,
-        mm.reduce_mod_fermat16(s_g),
-        mm.sub_mod(mm.reduce_mod_fermat16(s_g), mm.reduce_mod_fermat16(g), t),
+        red_t(s_g),
+        mm.sub_mod(red_t(s_g), dc.gamma_mod_t, t),
     )
     num = mm.sub_mod(s_t, e_mod_t, t)
-    return mm.mul_mod_fermat16(num, dc.inv_gamma_t)
+    return scale_t(num, dc.inv_gamma_t, dc.inv_gamma_t_shoup)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,12 @@ class SecurityParams:
     log_q: int = 120            # log2 of ciphertext modulus
     sigma: float = 3.2          # gaussian noise stddev
     hamming_weight: int = 64    # ternary secret-key weight
+    # Plaintext modulus.  The reference carries t on SchemeParams
+    # (include/fhe.cuh:24-39) and always sets 65537 (src/fhe.cu:14); we expose
+    # it.  Requirements: prime, t ≡ 1 (mod 2n) for SIMD batching, and
+    # 65537 <= t < 2^29 (the device decryption path centers 16-bit correction
+    # terms against t, and every residue lane assumes t < q_i).
+    plain_modulus: int = 65537
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,7 +56,7 @@ class SchemeParams:
 
     security: SecurityParams
     n: int                       # polynomial degree
-    t: int                       # plaintext modulus (65537: slot-friendly Fermat prime)
+    t: int                       # plaintext modulus (prime, t ≡ 1 mod 2n; default 65537)
     q_primes: tuple[int, ...]    # RNS basis for q = prod(q_primes)
     aux_primes: tuple[int, ...]  # auxiliary basis B for BEHZ multiplication
     m_sk: int                    # Shenoy-Kumaresan extra prime
@@ -136,9 +142,18 @@ def make_scheme_params(security: SecurityParams = SecurityParams()) -> SchemePar
             "default (n=4096, log_q=120) has the same issue — use n=8192 "
             "or a smaller modulus for production",
             stacklevel=2)
-    t = 65537
+    t = security.plain_modulus
+    if not (65537 <= t < (1 << 29)):
+        raise ValueError(
+            f"plain_modulus {t} out of range [65537, 2^29): the RNS layers "
+            "assume t < every ciphertext prime and the decryption path "
+            "centers 16-bit terms against t")
+    if not _primes.is_prime(t):
+        raise ValueError(f"plain_modulus {t} must be prime")
     if (t - 1) % (2 * n) != 0:
-        raise ValueError(f"t=65537 does not support batching for n={n}")
+        raise ValueError(
+            f"plain_modulus {t} does not support batching for n={n}: "
+            "need t ≡ 1 (mod 2n)")
     k = max(2, math.ceil(security.log_q / PRIME_BITS))
     # Aux basis must give the tensor product headroom:
     #   prod(q ∪ B ∪ {m_sk}) > 4 * t * n * q^2, i.e. B*m_sk > 4*t*n*q.

@@ -238,7 +238,8 @@ def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
     """m = round(t/q * [ct(s)]_q) mod t via the exact gamma-trick scaling
     (the reference's decrypt called an undefined kernel, src/fhe.cu:181-184)."""
     x = _phase(ctx, ct, sk)
-    m = _rns.decrypt_scale(x[:, None, :], ctx.dec_levels[ct.level])
+    m = _rns.decrypt_scale(x[:, None, :], ctx.dec_levels[ct.level],
+                           fermat=ctx.params.t == 65537)
     return Plaintext(data=m[0])
 
 
@@ -277,7 +278,7 @@ def add(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     p = _p3(_tb(ctx, a.level))
     return a.replace(
         data=mm.add_mod(a.data, b.data, p),
-        noise_budget=min(a.noise_budget, b.noise_budget) - 1.0,
+        noise_budget=max(0.0, min(a.noise_budget, b.noise_budget) - 1.0),
     )
 
 
@@ -286,7 +287,7 @@ def sub(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     p = _p3(_tb(ctx, a.level))
     return a.replace(
         data=mm.sub_mod(a.data, b.data, p),
-        noise_budget=min(a.noise_budget, b.noise_budget) - 1.0,
+        noise_budget=max(0.0, min(a.noise_budget, b.noise_budget) - 1.0),
     )
 
 
@@ -643,7 +644,8 @@ def estimate_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> 
     t = p.t
     x = np.asarray(_phase(ctx, ct, sk))  # [k, n]
     m = np.asarray(_rns.decrypt_scale(jnp.asarray(x)[:, None, :],
-                                      ctx.dec_levels[level])[0])
+                                      ctx.dec_levels[level],
+                                      fermat=p.t == 65537)[0])
     coeffs = _rns.from_rns_host(x, primes_l)
     delta = q // t
     worst = 1

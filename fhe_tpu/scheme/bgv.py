@@ -173,8 +173,11 @@ def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
     x = _phase(ctx, ct, sk)                              # [k, n]
     m = _rns.sm_mrq(x[:, None, :], ctx.bgv_dec_levels[ct.level])[0, 0]  # [n]
     if ct.scale_t != 1:
-        s = np.uint32(ct.scale_t % ctx.params.t)
-        m = mm.mul_mod_fermat16(m, s)
+        t = ctx.params.t
+        s = ct.scale_t % t
+        m = mm.mul_mod_shoup(m, np.uint32(s),
+                             np.uint32(mm.shoup_precompute(s, t)),
+                             np.uint32(t))
     return Plaintext(data=m)
 
 
@@ -206,8 +209,11 @@ def _pt_for_scale(ctx: SchemeContext, pt: Plaintext, scale_t: int) -> Plaintext:
     pre-divided by scale_t so the sum decrypts to m_ct + m_pt."""
     if scale_t == 1:
         return pt
-    inv = np.uint32(pow(scale_t, -1, ctx.params.t))
-    return pt.replace(data=mm.mul_mod_fermat16(pt.data, inv))
+    t = ctx.params.t
+    inv = pow(scale_t, -1, t)
+    return pt.replace(data=mm.mul_mod_shoup(
+        pt.data, np.uint32(inv), np.uint32(mm.shoup_precompute(inv, t)),
+        np.uint32(t)))
 
 
 def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:

@@ -11,7 +11,9 @@ The reference's own test expectations (slot-wise products, e.g.
 default encode path, so ``FHE.encode`` (api.py) routes here; coefficient
 encoding (reference src/fhe.cu:113-136) is available as encode_coeff.
 
-t = 65537 throughout (Fermat-prime butterflies; t = 1 mod 2n up to n = 32768).
+Works for any prime t ≡ 1 (mod 2n) — the mod-t NTT tables come from the same
+generic builder as the ciphertext-prime tables (default t = 65537 supports
+batching up to n = 32768; e.g. t = 786433 = 3*2^18 + 1 covers n up to 2^17).
 """
 
 from __future__ import annotations

@@ -37,6 +37,14 @@ _tried = False
 def _try_build() -> None:
     if os.environ.get("FHE_TPU_AUTO_BUILD", "1") == "0":
         return
+    # Never spawn a compiler into a read-only install (CI images, site-packages
+    # with restricted perms): building writes .o/.so files into native/.
+    if not os.access(_NATIVE_DIR, os.W_OK):
+        return
+    import logging
+    logging.getLogger(__name__).info(
+        "building native fhecore library in %s (set FHE_TPU_AUTO_BUILD=0 "
+        "to disable)", _NATIVE_DIR)
     try:
         subprocess.run(
             ["make", "-C", str(_NATIVE_DIR), "libfhecore.so"],

@@ -41,8 +41,12 @@ def run_circuit(seed: int) -> tuple[bool, str]:
     n = int(rng.choice([128, 256, 512]))
     log_q = int(rng.choice([120, 150, 180]))
     hw = int(rng.choice([8, 16, 32]))
+    # mixed plaintext moduli (all prime, = 1 mod 2n for n <= 8192):
+    # 65537 Fermat fast path, 114689 = 7*2^14+1 and 786433 = 3*2^18+1 generic
+    t_choice = int(rng.choice([65537, 65537, 114689, 786433]))
     params = make_scheme_params(
-        SecurityParams(poly_degree=n, log_q=log_q, hamming_weight=hw))
+        SecurityParams(poly_degree=n, log_q=log_q, hamming_weight=hw,
+                       plain_modulus=t_choice))
     t = params.t
     half = params.slot_count
     fhe = FHE(params, seed=seed, scheme=str(scheme))
@@ -61,7 +65,8 @@ def run_circuit(seed: int) -> tuple[bool, str]:
     ct, model = fresh()
     level_budget = params.k - 1
     mults = 0
-    max_mults = max(1, (log_q - 60) // 45)
+    # each multiply consumes ~log2(n) + log2(t) + slack bits of budget
+    max_mults = max(1, (log_q - 60) // (26 + t.bit_length()))
     ops_trace = []
     n_ops = int(rng.integers(4, 12))
     for _ in range(n_ops):
