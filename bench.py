@@ -101,6 +101,16 @@ def main():
         lambda a: bfv.multiply(fhe.ctx, ct1.replace(data=a), ct2, rlk).data,
         ct1.data, iters=85)
 
+    # leveled multiply (level 1, k-1 primes, precomputed level keys): the
+    # fused kernels must serve every level (round-1 review item 5)
+    ct1_l1 = fhe.mod_switch_to_next(ct1)
+    ct2_l1 = fhe.mod_switch_to_next(ct2)
+    rlk_l1 = fhe._rlk_at(rlk, 1)
+    mul_l1_s = bench_chain(
+        lambda a: bfv.multiply(fhe.ctx, ct1_l1.replace(data=a), ct2_l1,
+                               rlk_l1, keys_at_level=True).data,
+        ct1_l1.data, iters=85)
+
     # forward NTT on a [3, 1, 8192] residue stack (one polynomial, 3 primes)
     def fwd(x):
         if fhe.ctx.use_pallas:
@@ -113,6 +123,45 @@ def main():
     # batched NTT throughput (64 polynomials per launch amortize fixed costs)
     big = jnp.tile(ct1.data[:, :1, :], (1, 64, 1))
     ntt64_s = bench_chain(fwd, big, iters=105) / 64.0
+
+    # per-engine evidence for the multiply dispatch (round-1 review item 4):
+    # MXU four-step NTT single/batched, plus the multiply on the CT-engine
+    # path (use_mxu=False) vs the dispatched default above.
+    ntt_mxu_s = ntt_mxu64_s = mul_ct_s = None
+    if fhe.ctx.use_mxu:
+        from fhe_tpu.ops import ntt_mxu as _nmxu
+        mtb = fhe.ctx.ntt_q_mxu
+        ntt_mxu_s = bench_chain(
+            lambda x: _nmxu.ntt_forward(x, mtb), ct1.data[:, :1, :], iters=405)
+        ntt_mxu64_s = bench_chain(
+            lambda x: _nmxu.ntt_forward(x, mtb), big, iters=105) / 64.0
+        fhe_ct = FHE(params, seed=0, use_mxu=False)
+        pk_c, sk_c = fhe_ct.keygen()
+        rlk_c = fhe_ct.relinkey_gen(sk_c)
+        c1c = fhe_ct.encrypt(fhe_ct.encode([5, 10, 15, 20]), pk_c)
+        c2c = fhe_ct.encrypt(fhe_ct.encode([3, 6, 9, 12]), pk_c)
+        mul_ct_s = bench_chain(
+            lambda a: bfv.multiply(
+                fhe_ct.ctx, c1c.replace(data=a), c2c, rlk_c).data,
+            c1c.data, iters=85)
+
+    # n = 16384 (the reference's declared max size, docs/API_REFERENCE.md:62):
+    # fused-kernel forward NTT, cross-checked bit-exact against the jnp engine
+    from fhe_tpu import primes as _primes16
+    from fhe_tpu.ops import ntt_pallas as _npal16
+    ps16 = _primes16.find_ntt_primes(16384, 3)
+    tb16 = _ntt.build_tables(16384, ps16)
+    pl16 = _npal16.build_pallas_tables(16384, ps16)
+    import numpy as _np16
+    x16 = jnp.asarray(_np16.stack([
+        _np16.random.default_rng(5).integers(0, p, (1, 16384), dtype=_np16.uint32)
+        for p in ps16]))
+    got16 = _npal16.ntt_forward(x16, pl16)
+    want16 = jax.jit(_ntt.ntt_forward)(x16, tb16)
+    assert (_np16.asarray(got16) == _np16.asarray(want16)).all(), \
+        "n=16384 Pallas NTT mismatch vs jnp engine"
+    ntt16_s = bench_chain(lambda x: _npal16.ntt_forward(x, pl16),
+                          x16, iters=205)
 
     # batched multiply throughput (8 independent ciphertext pairs via vmap)
     batch8 = jnp.stack([ct1.data] * 8)
@@ -220,6 +269,30 @@ def main():
     bgot = bfhe.decode(bfhe.decrypt(bfhe.multiply(bct1, bct2, brlk), bsk))
     assert list(bgot[:4]) == [15, 60, 135, 240], bgot[:4]
 
+    # k=8 throughput config (reference tests/test_fhe.cu:275-318 benchmarks
+    # N=8192 at log q=218): multiply+relin and the relin share of it.
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        params8 = make_scheme_params(
+            SecurityParams(poly_degree=n, log_q=218, hamming_weight=64))
+    assert params8.k == 8
+    fhe8 = FHE(params8, seed=2)
+    pk8, sk8 = fhe8.keygen()
+    rlk8 = fhe8.relinkey_gen(sk8)
+    c8a = fhe8.encrypt(fhe8.encode([5, 10]), pk8)
+    c8b = fhe8.encrypt(fhe8.encode([3, 6]), pk8)
+    mul8k_s = bench_chain(
+        lambda a: bfv.multiply(fhe8.ctx, c8a.replace(data=a), c8b, rlk8).data,
+        c8a.data, iters=45)
+    tens8_s = bench_chain(
+        lambda a: bfv.multiply_no_relin(
+            fhe8.ctx, c8a.replace(data=a), c8b).data[:, :2],
+        c8a.data, iters=45)
+    relin_share8 = max(0.0, 1.0 - tens8_s / mul8k_s)
+    got8 = fhe8.decode(fhe8.decrypt(fhe8.multiply(c8a, c8b, rlk8), sk8))
+    assert list(got8[:2]) == [15, 60], got8[:2]
+
     # correctness gate: the benchmark numbers only count if the math is right
     got = fhe.decode(fhe.decrypt(fhe.multiply(ct1, ct2, rlk), sk))
     assert list(got[:4]) == [15, 60, 135, 240], got[:4]
@@ -240,6 +313,13 @@ def main():
             "forward_ntt_ms_batched": round(ntt64_s * 1e3, 4),
             "forward_ntt_vs_baseline": round(BASELINE_NTT_MS / ntt_ms, 3),
             "forward_ntt_vs_baseline_batched": round(BASELINE_NTT_MS / (ntt64_s * 1e3), 3),
+            "forward_ntt_mxu_ms": (round(ntt_mxu_s * 1e3, 4)
+                                   if ntt_mxu_s else None),
+            "forward_ntt_mxu_ms_batched": (round(ntt_mxu64_s * 1e3, 4)
+                                           if ntt_mxu64_s else None),
+            "multiply_relin_ms_ct_engine": (round(mul_ct_s * 1e3, 4)
+                                            if mul_ct_s else None),
+            "forward_ntt_ms_n16384": round(ntt16_s * 1e3, 4),
             "encrypt_ms": round(enc_s * 1e3, 4),
             "encrypt_vs_baseline": round(8.0 / (enc_s * 1e3), 3),
             "decrypt_ms": round(dec_s * 1e3, 4),
@@ -255,6 +335,11 @@ def main():
             "modmul_roofline_pct": round(roofline_pct, 1),
             "modmul_roofline_gops": round(roofline_modmuls / 1e9, 1),
             "modmul_hlo_op_mix": [n_mul, n_cheap],
+            "multiply_relin_ms_level1": round(mul_l1_s * 1e3, 4),
+            "leveled_per_prime_ratio": round(
+                (mul_l1_s / (params.k - 1)) / (mul_s / params.k), 3),
+            "multiply_relin_ms_k8": round(mul8k_s * 1e3, 4),
+            "relin_share_k8": round(relin_share8, 3),
             "bgv_multiply_relin_ms": round(bgv_mul_s * 1e3, 4),
             "bgv_multiply_vs_baseline": round(
                 BASELINE_MUL_MS / (bgv_mul_s * 1e3), 3),

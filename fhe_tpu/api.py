@@ -39,7 +39,8 @@ class FHE:
     scheme state (context, keys, ciphertexts) is immutable."""
 
     def __init__(self, params: SchemeParams | None = None, seed: int = 0,
-                 scheme: str = "bfv", **security_kw):
+                 scheme: str = "bfv", use_pallas: bool | None = None,
+                 use_mxu: bool | None = None, **security_kw):
         if params is None:
             params = make_scheme_params(SecurityParams(**security_kw))
         if scheme not in ("bfv", "bgv"):
@@ -48,7 +49,8 @@ class FHE:
         mod = bfv if scheme == "bfv" else bgv
         self._scheme = mod
         self.params = params
-        self.ctx: SchemeContext = make_context(params)
+        self.ctx: SchemeContext = make_context(
+            params, use_pallas=use_pallas, use_mxu=use_mxu)
         self._key = jax.random.PRNGKey(seed)
         self.encoder = _encoder.BatchEncoder(params)
         self.monitor = PerformanceMonitor()
@@ -216,5 +218,27 @@ class FHE:
         with self.monitor.time("bootstrap"):
             return self._scheme.bootstrap(self.ctx, self._next_key(), ct, sk, pk)
 
+    # -- the real bootstrapping pipeline (scheme/bootstrap.py): extract_lsb
+    # -> blind_rotate -> modulus_raise -> key_switch (reference
+    # include/fhe.cuh:138-140).  BFV only; binary payload in coefficient 0.
+    def make_bootstrap_key(self, sk: SecretKey, level: int = 0):
+        from .scheme import bootstrap as _bs
+        if self.scheme_name != "bfv":
+            raise NotImplementedError("bootstrap pipeline is BFV-only")
+        with self.monitor.time("make_bootstrap_key"):
+            return _bs.make_bootstrap_key(self.ctx, self._next_key(), sk, level)
+
+    def bootstrap_binary(self, ct, sk: SecretKey, bsk=None):
+        from .scheme import bootstrap as _bs
+        if self.scheme_name != "bfv":
+            raise NotImplementedError("bootstrap pipeline is BFV-only")
+        with self.monitor.time("bootstrap_binary"):
+            return _bs.bootstrap_binary(self.ctx, self._next_key(), ct, sk, bsk)
+
     def estimate_noise_budget(self, ct, sk: SecretKey) -> float:
         return self._scheme.estimate_noise_budget(self.ctx, ct, sk)
+
+    def exact_noise_budget(self, ct, sk: SecretKey, pt) -> float:
+        """Budget measured against a KNOWN expected plaintext — negative
+        once the ciphertext is corrupted (no post-exhaustion blind spot)."""
+        return self._scheme.exact_noise_budget(self.ctx, ct, sk, pt)

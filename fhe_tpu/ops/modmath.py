@@ -117,6 +117,27 @@ def mul_mod_shoup_lazy(x, w, w_shoup, p):
     return x * w - q * p
 
 
+def add_mod_tree(x, p, axis: int):
+    """Reduce an axis by modular summation with a balanced tree (log2 depth).
+
+    Replaces serial fold chains (e.g. the key-switch digit accumulation,
+    reference relinearization spec docs/ARCHITECTURE.md:319-327) with a
+    shape-halving sweep XLA fuses into a handful of full-width VPU ops."""
+    import jax.lax as lax
+
+    while x.shape[axis] > 1:
+        m = x.shape[axis]
+        half = m // 2
+        a = lax.slice_in_dim(x, 0, half, axis=axis)
+        b = lax.slice_in_dim(x, half, 2 * half, axis=axis)
+        s = add_mod(a, b, p)
+        if m % 2:
+            s = jnp.concatenate(
+                [s, lax.slice_in_dim(x, 2 * half, m, axis=axis)], axis=axis)
+        x = s
+    return x
+
+
 # -- Barrett multiplication (both operands variable) --------------------------
 
 
@@ -196,6 +217,39 @@ def pow_mod(base, exp: int, p, mu):
         if e & 1:
             result = mul_mod_barrett(result, acc, p, mu)
         acc = mul_mod_barrett(acc, acc, p, mu)
+        e >>= 1
+    return result
+
+
+def mul_mod_var(a, b, p, one_shoup, two32_mod_p, two32_shoup):
+    """a*b mod p for VARIABLE a, b in [0, p), any p < 2^29.
+
+    No Barrett constant needed (Barrett here requires 30-bit moduli): split
+    the 64-bit product, reduce both halves with the Shoup w=1 trick, and
+    recombine through the precomputed constant 2^32 mod p.  Used for
+    device-traced mod-t arithmetic (e.g. the BGV scale_t correction chain).
+
+    one_shoup = floor(2^32/p); two32_mod_p = 2^32 mod p with its Shoup
+    companion two32_shoup — all host-precomputable from p alone."""
+    hi, lo = umul32_wide(a, b)
+    hi_r = reduce_mod_shoup(hi, p, one_shoup)
+    lo_r = reduce_mod_shoup(lo, p, one_shoup)
+    hi_c = mul_mod_shoup(hi_r, two32_mod_p, two32_shoup, p)
+    return add_mod(hi_c, lo_r, p)
+
+
+def pow_mod_var(base, exp: int, p, one_shoup, two32_mod_p, two32_shoup):
+    """base^exp mod p with a static host exponent, via mul_mod_var (for
+    small moduli where the Barrett pow_mod does not apply).  Used for
+    device-side modular inverses mod prime t: exp = t - 2 (Fermat)."""
+    result = jnp.full_like(base, U32(1))
+    acc = base
+    e = int(exp)
+    while e:
+        if e & 1:
+            result = mul_mod_var(result, acc, p, one_shoup, two32_mod_p,
+                                 two32_shoup)
+        acc = mul_mod_var(acc, acc, p, one_shoup, two32_mod_p, two32_shoup)
         e >>= 1
     return result
 

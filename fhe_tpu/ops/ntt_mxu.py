@@ -37,8 +37,8 @@ This realizes the reference's "Tensor Core Acceleration" future-work item
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
+import flax.struct
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -53,16 +53,18 @@ _BASE = 1 << _BASE_BITS          # 128
 _MASK = _BASE - 1
 
 
-class MXUNTTTables(NamedTuple):
-    """Per-prime four-step constants.  n = n1 * n2, n1/n2 powers of two.
+@flax.struct.dataclass
+class MXUNTTTables:
+    """Per-prime four-step constants.  n = n1 * n2, n1/n2 powers of two
+    (static fields, so the tables can ride inside a jitted context pytree).
 
     Matrix limb tensors are int8 [k, LIMBS, dim, dim]; twiddle tables are
     uint32 [k, n1, n2] with Shoup companions."""
 
     p: jax.Array             # [k]
     mu: jax.Array            # [k] Barrett
-    n1: int
-    n2: int
+    n1: int = flax.struct.field(pytree_node=False)
+    n2: int = flax.struct.field(pytree_node=False)
     v_limbs: jax.Array       # [k, L, n2, n2] int8   (fwd row matrix V)
     w_limbs: jax.Array       # [k, L, n1, n1] int8   (fwd col matrix W)
     t_mid: jax.Array         # [k, n1, n2] u32       (fwd mid twiddles T)
@@ -204,6 +206,17 @@ def build_mxu_tables(n: int, primes_list, n1: int | None = None) -> MXUNTTTables
         wi_limbs=jnp.asarray(host["wi"]),
         ti_mid=jnp.asarray(host["ti"]),
         ti_mid_shoup=jnp.asarray(host["tis"]),
+    )
+
+
+def slice_tables(tb: MXUNTTTables, k: int) -> MXUNTTTables:
+    """First-k-primes view (leveled transforms); n1/n2 are static."""
+    return MXUNTTTables(
+        p=tb.p[:k], mu=tb.mu[:k], n1=tb.n1, n2=tb.n2,
+        v_limbs=tb.v_limbs[:k], w_limbs=tb.w_limbs[:k],
+        t_mid=tb.t_mid[:k], t_mid_shoup=tb.t_mid_shoup[:k],
+        vi_limbs=tb.vi_limbs[:k], wi_limbs=tb.wi_limbs[:k],
+        ti_mid=tb.ti_mid[:k], ti_mid_shoup=tb.ti_mid_shoup[:k],
     )
 
 

@@ -114,6 +114,12 @@ def from_tables(tb: NTTTables) -> PallasNTTTables:
     return build_pallas_tables(tb.n, [int(x) for x in np.asarray(tb.p)])
 
 
+def slice_tables(pt: PallasNTTTables, k: int) -> PallasNTTTables:
+    """First-k-primes view (for modulus-switched levels): every field is
+    prime-major, so leveled transforms are zero-copy row slices."""
+    return PallasNTTTables(*(arr[:k] for arr in pt))
+
+
 # ---------------------------------------------------------------------------
 # kernel bodies (pure jnp on values; also used by tests in interpreter mode)
 # ---------------------------------------------------------------------------

@@ -12,6 +12,13 @@ spec ``compute_noise_norm_kernel`` :138-143) and ``negacyclic_reduce``
 
 All inputs are residues in [0, p) per prime; ``tb`` is an
 ``fhe_tpu.ops.ntt.NTTTables`` (carrying p and Barrett mu).
+
+This module is the single implementation of coefficient-domain ring
+arithmetic: the scheme layer (scheme/bfv.py add/sub/±plain, scheme/bgv.py
+t-scaling and plain ops) routes through these functions rather than calling
+modmath directly, so ring-op semantics live in exactly one place (round-1
+review item 9).  NTT-domain pointwise ops stay in ops/ntt (they are
+evaluation-domain, not ring-domain, semantics).
 """
 
 from __future__ import annotations
@@ -39,15 +46,22 @@ def sub(a: jax.Array, b: jax.Array, tb) -> jax.Array:
     return mm.sub_mod(a, b, _p3(tb))
 
 
+def _scalar_residues(scalar, tb) -> jax.Array:
+    """python uint32 -> [k] residues mod tb.p, jit-safe (tb.p may be traced;
+    the remainder runs on device over k scalars, negligible)."""
+    if isinstance(scalar, (int, np.integer)):
+        v = int(scalar)
+        if not 0 <= v < (1 << 32):
+            raise ValueError(f"scalar {v} out of uint32 range")
+        return jnp.mod(jnp.full_like(tb.p, np.uint32(v)), tb.p)
+    return scalar
+
+
 def mul_scalar(a: jax.Array, scalar, tb) -> jax.Array:
     """a * c mod p per prime (``poly_mul_scalar_kernel``, :98-111).
 
     scalar: python int (reduced per prime) or [k] array of residues."""
-    if isinstance(scalar, (int, np.integer)):
-        s = jnp.asarray(
-            [int(scalar) % int(p) for p in np.asarray(tb.p)], jnp.uint32)
-    else:
-        s = scalar
+    s = _scalar_residues(scalar, tb)
     return mm.mul_mod_barrett(a, s[:, None, None], _p3(tb),
                               tb.mu[:, None, None])
 
@@ -57,11 +71,7 @@ def add_scalar(a: jax.Array, scalar, tb) -> jax.Array:
     ``include/polynomial.cuh:87-93``) — added to the constant coefficient of
     every polynomial? No: the reference's elementwise contract adds c to
     every coefficient, matching its batch kernels; we mirror that."""
-    if isinstance(scalar, (int, np.integer)):
-        s = jnp.asarray(
-            [int(scalar) % int(p) for p in np.asarray(tb.p)], jnp.uint32)
-    else:
-        s = scalar
+    s = _scalar_residues(scalar, tb)
     return mm.add_mod(a, s[:, None, None], _p3(tb))
 
 

@@ -5,9 +5,11 @@ from .types import Ciphertext, Plaintext, PublicKey, SecretKey, RelinKeys, Galoi
 from .context import SchemeContext, make_context
 from . import bfv
 from . import bgv
+from . import bootstrap
 from .encoder import BatchEncoder
 
 __all__ = [
     "Ciphertext", "Plaintext", "PublicKey", "SecretKey", "RelinKeys",
-    "GaloisKeys", "SchemeContext", "make_context", "bfv", "bgv", "BatchEncoder",
+    "GaloisKeys", "SchemeContext", "make_context", "bfv", "bgv", "bootstrap",
+    "BatchEncoder",
 ]

@@ -38,9 +38,11 @@ import jax.numpy as jnp
 from ..ops import modmath as mm
 from ..ops import ntt as _ntt
 from ..ops import ntt_pallas as _ntt_pl
+from ..ops import poly as _poly
 from ..ops import rns as _rns
 from ..ops import sampling
 from .context import SchemeContext
+from . import noise as _noise
 from .types import Ciphertext, GaloisKeys, Plaintext, PublicKey, RelinKeys, SecretKey
 
 
@@ -55,15 +57,18 @@ def _tb(ctx: SchemeContext, level: int = 0) -> _ntt.NTTTables:
 
 
 def _fwd_q(ctx: SchemeContext, x, level: int = 0):
-    """Forward NTT in the q basis, fused-kernel path when available."""
-    if ctx.use_pallas and level == 0:
-        return _ntt_pl.ntt_forward(x, ctx.ntt_q_pl)
+    """Forward NTT in the q basis, fused-kernel path when available (leveled
+    transforms use zero-copy row slices of the level-0 Pallas tables)."""
+    if ctx.use_pallas:
+        return _ntt_pl.ntt_forward(
+            x, _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
     return _ntt.ntt_forward(x, _tb(ctx, level))
 
 
 def _inv_q(ctx: SchemeContext, x, level: int = 0):
-    if ctx.use_pallas and level == 0:
-        return _ntt_pl.ntt_inverse(x, ctx.ntt_q_pl)
+    if ctx.use_pallas:
+        return _ntt_pl.ntt_inverse(
+            x, _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
     return _ntt.ntt_inverse(x, _tb(ctx, level))
 
 
@@ -83,13 +88,20 @@ def _p3(tb):  # [k,1,1] prime broadcast for [k,B,n] tensors
     return tb.p[:, None, None]
 
 
-def _fresh_noise_budget(ctx: SchemeContext) -> float:
-    """log2(q / (2t * ||v_fresh||)) with the standard fresh-noise estimate."""
-    p = ctx.params
-    h = p.security.hamming_weight
-    sigma = p.security.sigma
-    v = 6.0 * sigma * (1 + 2 * h)
-    return max(0.0, math.log2(p.q / p.t / 2.0) - math.log2(max(v, 1.0)))
+def _fresh_noise_budget(ctx: SchemeContext):
+    """Fresh budget from the variance model (scheme/noise.py)."""
+    return max(0.0, float(_noise.bfv_budget(
+        ctx.params, 0, _noise.fresh_variance(ctx.params))))
+
+
+def _v_of(ctx: SchemeContext, ct: Ciphertext):
+    """Recover the tracked log2-noise-variance from the carried budget bits
+    (possibly a traced scalar — see scheme/noise.py)."""
+    return _noise.bfv_variance(ctx.params, ct.level, ct.noise_budget)
+
+
+def _b_of(ctx: SchemeContext, level: int, log2_var):
+    return jnp.maximum(0.0, _noise.bfv_budget(ctx.params, level, log2_var))
 
 
 def to_ntt(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
@@ -274,35 +286,39 @@ def _check_compat(a: Ciphertext, b: Ciphertext):
 
 
 def add(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """Component-wise ring add, routed through the L4 poly layer (one
+    implementation of ring arithmetic: scheme -> ops/poly -> ops/modmath)."""
     _check_compat(a, b)
-    p = _p3(_tb(ctx, a.level))
+    tb = _tb(ctx, a.level)
     return a.replace(
-        data=mm.add_mod(a.data, b.data, p),
-        noise_budget=max(0.0, min(a.noise_budget, b.noise_budget) - 1.0),
+        data=_poly.add(a.data, b.data, tb),
+        noise_budget=_b_of(ctx, a.level,
+                           _noise.add(_v_of(ctx, a), _v_of(ctx, b))),
     )
 
 
 def sub(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     _check_compat(a, b)
-    p = _p3(_tb(ctx, a.level))
+    tb = _tb(ctx, a.level)
     return a.replace(
-        data=mm.sub_mod(a.data, b.data, p),
-        noise_budget=max(0.0, min(a.noise_budget, b.noise_budget) - 1.0),
+        data=_poly.sub(a.data, b.data, tb),
+        noise_budget=_b_of(ctx, a.level,
+                           _noise.add(_v_of(ctx, a), _v_of(ctx, b))),
     )
 
 
 def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
     """c0 += Delta_L * m (slot/coeff semantics preserved, any level)."""
     ct = to_coeff(ctx, ct)
-    p = _p3(_tb(ctx, ct.level))
-    c0 = mm.add_mod(ct.data[:, :1], _scale_by_delta(ctx, pt, ct.level), p)
+    tb = _tb(ctx, ct.level)
+    c0 = _poly.add(ct.data[:, :1], _scale_by_delta(ctx, pt, ct.level), tb)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
 def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
     ct = to_coeff(ctx, ct)
-    p = _p3(_tb(ctx, ct.level))
-    c0 = mm.sub_mod(ct.data[:, :1], _scale_by_delta(ctx, pt, ct.level), p)
+    tb = _tb(ctx, ct.level)
+    c0 = _poly.sub(ct.data[:, :1], _scale_by_delta(ctx, pt, ct.level), tb)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
@@ -315,7 +331,8 @@ def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphert
         ct_ntt.data, jnp.broadcast_to(pt_ntt, ct_ntt.data.shape), tb)
     out = ct_ntt.replace(
         data=data,
-        noise_budget=ct.noise_budget - math.log2(ctx.n) - 16.0,
+        noise_budget=_b_of(ctx, ct.level, _noise.multiply_plain(
+            ctx.params, _v_of(ctx, ct))),
     )
     return to_coeff(ctx, out) if not ct.is_ntt_form else out
 
@@ -365,12 +382,25 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     lift_a = _rns.sm_mrq(a.data, smq)   # [l+1, 2, n]
     lift_b = _rns.sm_mrq(b.data, smq)
 
-    # Step 2: tensor products in both bases via NTT.
+    # Step 2: tensor products in both bases via NTT.  These are closed
+    # fwd -> pointwise -> inv loops (no stored NTT-form data enters), so the
+    # MXU four-step engine — whose evaluation ORDER differs from the CT
+    # engine — is a drop-in here when enabled (docs/NTT_OPTIMIZATION.md).
+    if ctx.use_mxu:
+        from ..ops import ntt_mxu as _ntt_mxu
+        tbm_q = _ntt_mxu.slice_tables(ctx.ntt_q_mxu, ctx.k - level)
+        fwd_q_fn = lambda c, x: _ntt_mxu.ntt_forward(x, tbm_q)
+        inv_q_fn = lambda c, x: _ntt_mxu.ntt_inverse(x, tbm_q)
+        fwd_b_fn = lambda c, x: _ntt_mxu.ntt_forward(x, c.ntt_bsk_mxu)
+        inv_b_fn = lambda c, x: _ntt_mxu.ntt_inverse(x, c.ntt_bsk_mxu)
+    else:
+        fwd_q_fn = lambda c, x: _fwd_q(c, x, level)
+        inv_q_fn = lambda c, x: _inv_q(c, x, level)
+        fwd_b_fn, inv_b_fn = _fwd_bsk, _inv_bsk
     tens_q = _tensor_product(ctx, a.data, b.data, _tb(ctx, level),
-                             lambda c, x: _fwd_q(c, x, level),
-                             lambda c, x: _inv_q(c, x, level))     # [k-L, 3, n]
+                             fwd_q_fn, inv_q_fn)                   # [k-L, 3, n]
     tens_bsk = _tensor_product(ctx, lift_a, lift_b, tb_bsk,
-                               _fwd_bsk, _inv_bsk)                 # [l+1, 3, n]
+                               fwd_b_fn, inv_b_fn)                 # [l+1, 3, n]
 
     # Step 3: scale by t and FastFloor into Bsk.
     t_mod_q = ctx.dec_c.t  # t < every prime: same residue everywhere
@@ -384,10 +414,10 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
 
     # Step 4: exact conversion back to q_L.
     out = _rns.fast_bconv_sk(floored, ctx.sk_levels[level])  # [k-L, 3, n]
-    nb = min(a.noise_budget, b.noise_budget)
     return Ciphertext(
         data=out, level=level, is_ntt_form=False,
-        noise_budget=max(0.0, nb - math.log2(ctx.n) - 16.0 - 6.0),
+        noise_budget=_b_of(ctx, level, _noise.bfv_multiply(
+            ctx.params, _v_of(ctx, a), _v_of(ctx, b))),
     )
 
 
@@ -446,7 +476,9 @@ def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys,
     p = _p3(tb)
     delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
     out = mm.add_mod(ct.data[:, :2], delta, p)
-    return ct.replace(data=out, noise_budget=max(0.0, ct.noise_budget - 2.0))
+    return ct.replace(data=out, noise_budget=_b_of(
+        ctx, level,
+        _noise.add(_v_of(ctx, ct), _noise.keyswitch_add(ctx.params, level))))
 
 
 def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
@@ -471,15 +503,17 @@ def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
     d_all = mm.barrett_reduce_u32(
         d[None, :, :], tb.p[:, None, None], tb.mu[:, None, None])
     d_ntt = _fwd_q(ctx, d_all, level)  # digits as batch axis
-    acc0 = None
-    acc1 = None
-    for j in range(k):
-        dj = d_ntt[:, j:j + 1]  # [k-L, 1, n]
-        t0 = _ntt.pointwise_mul(dj, ks_keys[j, :, 0:1], tb)
-        t1 = _ntt.pointwise_mul(dj, ks_keys[j, :, 1:2], tb)
-        acc0 = t0 if acc0 is None else mm.add_mod(acc0, t0, p)
-        acc1 = t1 if acc1 is None else mm.add_mod(acc1, t1, p)
-    return acc0, acc1
+    # one batched pointwise multiply over the digit axis, then a balanced
+    # mod-add tree: [k, kd, 1, n] x [k, kd, 2, n] -> [k, kd, 2, n] -> [k, 2, n]
+    # (round-1 review item 6: the serial per-digit loop was O(k) adds on the
+    # critical path — at the reference's k = 8 throughput config this fuses
+    # the 2k^2 products into one op and log2(k) add sweeps)
+    kt = jnp.transpose(ks_keys, (1, 0, 2, 3))  # [k_primes, k_digits, 2, n]
+    p4 = tb.p[:, None, None, None]
+    prod = mm.mul_mod_barrett(
+        d_ntt[:, :, None, :], kt, p4, tb.mu[:, None, None, None])
+    acc = mm.add_mod_tree(prod, p4, axis=1)[:, 0]  # [k-L, 2, n]
+    return acc[:, 0:1], acc[:, 1:2]
 
 
 def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
@@ -541,7 +575,10 @@ def apply_galois(ctx: SchemeContext, ct: Ciphertext, g: int,
     permuted = _apply_galois_coeff(ctx, ct.data, g)
     tmp = ct.replace(data=permuted)
     return key_switch(ctx, tmp, gal_keys.data[g], bgv, keys_at_level).replace(
-        noise_budget=max(0.0, ct.noise_budget - 2.0))
+        noise_budget=_b_of(
+            ctx, ct.level,
+            _noise.add(_noise.galois(_v_of(ctx, ct)),
+                       _noise.keyswitch_add(ctx.params, ct.level))))
 
 
 def rotate_rows(ctx: SchemeContext, ct: Ciphertext, steps: int,
@@ -588,10 +625,11 @@ def mod_switch_to_next(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
         raise ValueError("already at the last level")
     mc = ctx.mod_switch[ct.level]
     new = _rns.mod_switch_drop_last(ct.data, mc)
-    # budget change: q shrinks by ~30 bits but noise divides by q_last too;
-    # net effect approximately -= log2(rounding noise) ~ small constant.
+    # q shrinks by q_last but the noise divides by q_last too: the budget is
+    # roughly preserved minus the rounding term (variance model).
+    v = _noise.bfv_mod_switch(ctx.params, ct.level, _v_of(ctx, ct))
     return ct.replace(data=new, level=ct.level + 1,
-                      noise_budget=max(0.0, ct.noise_budget - 1.0))
+                      noise_budget=_b_of(ctx, ct.level + 1, v))
 
 
 def mod_switch_to_level(ctx: SchemeContext, ct: Ciphertext, target: int) -> Ciphertext:
@@ -655,3 +693,31 @@ def estimate_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> 
             v = q - v
         worst = max(worst, v)
     return max(0.0, math.log2(q / (2 * t)) - math.log2(worst))
+
+
+def exact_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey,
+                       pt: Plaintext) -> float:
+    """Noise budget measured against a KNOWN expected plaintext polynomial.
+
+    Unlike estimate_noise_budget (which measures against whatever the
+    ciphertext currently decrypts to, and therefore reads small-positive on
+    an already-corrupted ciphertext — the round-1 fuzzer blind spot), this
+    residual is taken against the caller's model plaintext and goes
+    NEGATIVE once the true noise crosses the decryption bound.  Host-side
+    CRT diagnostic; pt is the encoded polynomial (mod t coefficients)."""
+    p = ctx.params
+    level = ct.level
+    primes_l = p.q_primes[: ctx.k - level]
+    q = math.prod(primes_l)
+    t = p.t
+    x = np.asarray(_phase(ctx, ct, sk))
+    coeffs = _rns.from_rns_host(x, primes_l)
+    delta = q // t
+    m = np.asarray(pt.data)
+    worst = 1
+    for j, c in enumerate(coeffs):
+        v = (c - delta * int(m[j])) % q
+        if v > q // 2:
+            v = q - v
+        worst = max(worst, v)
+    return math.log2(q / (2 * t)) - math.log2(worst)

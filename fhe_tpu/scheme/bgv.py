@@ -36,6 +36,7 @@ from ..ops import ntt as _ntt
 from ..ops import rns as _rns
 from ..ops import sampling
 from .context import SchemeContext
+from . import noise as _noise
 from .types import (Ciphertext, GaloisKeys, Plaintext, PublicKey, RelinKeys,
                     SecretKey)
 from . import bfv as _bfv
@@ -48,17 +49,48 @@ apply_galois = _bfv.apply_galois
 
 
 def _t_scale(ctx: SchemeContext, e: jax.Array, level: int = 0) -> jax.Array:
-    """t * e mod q_i on [k, B, n] residues."""
-    tb = _tb(ctx, level)
-    t = jnp.uint32(ctx.params.t)
-    return mm.mul_mod_barrett(e, t, _p3(tb), tb.mu[:, None, None])
+    """t * e mod q_i on [k, B, n] residues (L4 poly scalar multiply)."""
+    from ..ops import poly as _poly
+    return _poly.mul_scalar(e, ctx.params.t, _tb(ctx, level))
 
 
-def _fresh_noise_budget(ctx: SchemeContext) -> float:
-    """log2(q/2) - log2(t * ||e_fresh||): BGV noise is t-scaled from birth."""
-    p = ctx.params
-    v = 6.0 * p.security.sigma * (1 + 2 * p.security.hamming_weight)
-    return max(0.0, math.log2(p.q / 2.0) - math.log2(p.t) - math.log2(max(v, 1.0)))
+# -- scale_t plumbing (host int OR traced uint32 scalar; see types.Ciphertext)
+
+
+def _host_scale(v):
+    """Concrete integer value of a scale_t, or None if traced."""
+    if isinstance(v, jax.core.Tracer):
+        return None
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return int(v)  # concrete device scalar
+
+
+def _t_var_consts(t: int):
+    """(t, one_shoup, 2^32 mod t, its shoup) as uint32 — the constants of
+    modmath.mul_mod_var for the mod-t lane."""
+    two32 = (1 << 32) % t
+    return (np.uint32(t), np.uint32(mm.shoup_precompute(1, t)),
+            np.uint32(two32), np.uint32(mm.shoup_precompute(two32, t)))
+
+
+def _scale_product(a_scale, b_scale, t: int):
+    """scale_t of a product ciphertext: host ints multiply on host; traced
+    values multiply on device (no recompile per value)."""
+    ha, hb = _host_scale(a_scale), _host_scale(b_scale)
+    if ha is not None and hb is not None:
+        return (ha * hb) % t
+    tc = _t_var_consts(t)
+    av = jnp.asarray(a_scale, jnp.uint32) if ha is None else np.uint32(ha % t)
+    bv = jnp.asarray(b_scale, jnp.uint32) if hb is None else np.uint32(hb % t)
+    return mm.mul_mod_var(av, bv, *tc)
+
+
+def _fresh_noise_budget(ctx: SchemeContext):
+    """Fresh budget from the variance model: BGV noise is t-scaled from
+    birth, budget = log2(q/2) - log2(t * D*sqrt(V_fresh))."""
+    return max(0.0, float(_noise.bgv_budget(
+        ctx.params, 0, _noise.fresh_variance(ctx.params))))
 
 
 # ---------------------------------------------------------------------------
@@ -172,9 +204,14 @@ def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
     times the accumulated scale_t correction."""
     x = _phase(ctx, ct, sk)                              # [k, n]
     m = _rns.sm_mrq(x[:, None, :], ctx.bgv_dec_levels[ct.level])[0, 0]  # [n]
-    if ct.scale_t != 1:
-        t = ctx.params.t
-        s = ct.scale_t % t
+    t = ctx.params.t
+    h = _host_scale(ct.scale_t)
+    if h is None:
+        # traced correction: generic variable multiply mod t on device
+        m = mm.mul_mod_var(m, jnp.asarray(ct.scale_t, jnp.uint32),
+                           *_t_var_consts(t))
+    elif h % t != 1:
+        s = h % t
         m = mm.mul_mod_shoup(m, np.uint32(s),
                              np.uint32(mm.shoup_precompute(s, t)),
                              np.uint32(t))
@@ -188,9 +225,13 @@ def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
 
 def _check_compat(a: Ciphertext, b: Ciphertext):
     _bfv._check_compat(a, b)
-    if a.scale_t != b.scale_t:
+    ha, hb = _host_scale(a.scale_t), _host_scale(b.scale_t)
+    # traced scale_t cannot be compared at trace time; levels already
+    # matched above, and same-level ciphertexts share the mod-switch chain's
+    # canonical factor unless the user multiplied them apart
+    if ha is not None and hb is not None and ha != hb:
         raise ValueError(
-            f"BGV scale_t mismatch ({a.scale_t} vs {b.scale_t}): "
+            f"BGV scale_t mismatch ({ha} vs {hb}): "
             "mod-switch both operands to the same level first")
 
 
@@ -204,32 +245,40 @@ def sub(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     return _bfv.sub(ctx, a, b)
 
 
-def _pt_for_scale(ctx: SchemeContext, pt: Plaintext, scale_t: int) -> Plaintext:
+def _pt_for_scale(ctx: SchemeContext, pt: Plaintext, scale_t) -> Plaintext:
     """The ciphertext's raw plaintext is m*scale_t^-1; a plain operand must be
     pre-divided by scale_t so the sum decrypts to m_ct + m_pt."""
-    if scale_t == 1:
-        return pt
     t = ctx.params.t
-    inv = pow(scale_t, -1, t)
-    return pt.replace(data=mm.mul_mod_shoup(
-        pt.data, np.uint32(inv), np.uint32(mm.shoup_precompute(inv, t)),
-        np.uint32(t)))
+    h = _host_scale(scale_t)
+    if h is not None:
+        if h % t == 1:
+            return pt
+        inv = pow(h, -1, t)
+        return pt.replace(data=mm.mul_mod_shoup(
+            pt.data, np.uint32(inv), np.uint32(mm.shoup_precompute(inv, t)),
+            np.uint32(t)))
+    # traced: Fermat inverse scale_t^(t-2) mod prime t, then a variable mul
+    tc = _t_var_consts(t)
+    inv = mm.pow_mod_var(jnp.asarray(scale_t, jnp.uint32), t - 2, *tc)
+    return pt.replace(data=mm.mul_mod_var(pt.data, inv, *tc))
 
 
 def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
     """c0 += m (no Delta scaling — BGV plaintext sits in the LSB); any level."""
+    from ..ops import poly as _poly
     ct = to_coeff(ctx, ct)
     pt = _pt_for_scale(ctx, pt, ct.scale_t)
-    p = _p3(_tb(ctx, ct.level))
-    c0 = mm.add_mod(ct.data[:, :1], _lift_plain(ctx, pt, ct.level), p)
+    tb = _tb(ctx, ct.level)
+    c0 = _poly.add(ct.data[:, :1], _lift_plain(ctx, pt, ct.level), tb)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
 def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    from ..ops import poly as _poly
     ct = to_coeff(ctx, ct)
     pt = _pt_for_scale(ctx, pt, ct.scale_t)
-    p = _p3(_tb(ctx, ct.level))
-    c0 = mm.sub_mod(ct.data[:, :1], _lift_plain(ctx, pt, ct.level), p)
+    tb = _tb(ctx, ct.level)
+    c0 = _poly.sub(ct.data[:, :1], _lift_plain(ctx, pt, ct.level), tb)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
@@ -248,7 +297,8 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     BFV's BEHZ pipeline).  Noise multiplies; manage with mod_switch_to_next."""
     if a.level != b.level:
         raise ValueError("ciphertext level mismatch")
-    if a.scale_t != b.scale_t:
+    ha, hb = _host_scale(a.scale_t), _host_scale(b.scale_t)
+    if ha is not None and hb is not None and ha != hb:
         raise ValueError("BGV scale_t mismatch")
     if a.num_components != 2 or b.num_components != 2:
         raise ValueError(
@@ -269,19 +319,24 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     else:
         a = to_coeff(ctx, a)
         b = to_coeff(ctx, b)
-        data = _bfv._tensor_product(
-            ctx, a.data, b.data, tb,
-            lambda c, x: _fwd_q(c, x, level),
-            lambda c, x: _inv_q(c, x, level))
-    # noise_budget: |v1*v2| roughly adds the consumed bits of both operands
-    fresh = _fresh_noise_budget(ctx)
-    consumed = (fresh - a.noise_budget) + (fresh - b.noise_budget)
-    log_n = math.log2(ctx.n)
+        if ctx.use_mxu:
+            from ..ops import ntt_mxu as _ntt_mxu
+            tbm = _ntt_mxu.slice_tables(ctx.ntt_q_mxu, ctx.k - level)
+            fwd = lambda c, x: _ntt_mxu.ntt_forward(x, tbm)
+            inv = lambda c, x: _ntt_mxu.ntt_inverse(x, tbm)
+        else:
+            fwd = lambda c, x: _fwd_q(c, x, level)
+            inv = lambda c, x: _inv_q(c, x, level)
+        data = _bfv._tensor_product(ctx, a.data, b.data, tb, fwd, inv)
+    v = _noise.bgv_multiply(
+        ctx.params,
+        _noise.bgv_variance(ctx.params, level, a.noise_budget),
+        _noise.bgv_variance(ctx.params, level, b.noise_budget))
     return Ciphertext(
         data=data, level=level, is_ntt_form=False,
-        scale_t=(a.scale_t * b.scale_t) % ctx.params.t,
-        noise_budget=max(0.0, fresh - consumed - math.log2(ctx.params.t)
-                         - log_n),
+        scale_t=_scale_product(a.scale_t, b.scale_t, ctx.params.t),
+        noise_budget=jnp.maximum(
+            0.0, _noise.bgv_budget(ctx.params, level, v)),
     )
 
 
@@ -338,11 +393,15 @@ def mod_switch_to_next(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
     new = _rns.bgv_mod_switch_drop_last(ct.data, mc)
     q_last = int(ctx.params.q_primes[ctx.k - 1 - ct.level])
     # noise divides by q_last but q also shrinks by q_last: budget roughly
-    # preserved minus the rounding term ~log2(t*n)
+    # preserved minus the rounding term (variance model)
+    v = _noise.bgv_mod_switch(
+        ctx.params, ct.level,
+        _noise.bgv_variance(ctx.params, ct.level, ct.noise_budget))
     return ct.replace(
         data=new, level=ct.level + 1,
-        scale_t=(ct.scale_t * q_last) % ctx.params.t,
-        noise_budget=max(0.0, ct.noise_budget - 1.0))
+        scale_t=_scale_product(ct.scale_t, q_last, ctx.params.t),
+        noise_budget=jnp.maximum(
+            0.0, _noise.bgv_budget(ctx.params, ct.level + 1, v)))
 
 
 def mod_switch_to_level(ctx: SchemeContext, ct: Ciphertext, target: int) -> Ciphertext:
@@ -365,7 +424,8 @@ def estimate_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> 
     q = math.prod(primes_l)
     x = np.asarray(_phase(ctx, ct, sk))
     m_scaled = np.asarray(decrypt(ctx, ct, sk).data)      # true m
-    inv_scale = pow(ct.scale_t, -1, p.t) if ct.scale_t != 1 else 1
+    s = _host_scale(ct.scale_t)
+    inv_scale = pow(s, -1, p.t) if s != 1 else 1
     coeffs = _rns.from_rns_host(x, primes_l)
     worst = 1
     for j, c in enumerate(coeffs):
@@ -375,3 +435,27 @@ def estimate_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> 
             v = q - v
         worst = max(worst, v)
     return max(0.0, math.log2(q / 2.0) - math.log2(worst))
+
+
+def exact_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey,
+                       pt: Plaintext) -> float:
+    """Noise budget measured against a KNOWN expected plaintext (see
+    bfv.exact_noise_budget: goes negative past exhaustion instead of
+    re-centering on a wrong decryption).  pt holds the expected decode-side
+    plaintext mod t; the phase holds m * scale_t^-1."""
+    p = ctx.params
+    primes_l = p.q_primes[: ctx.k - ct.level]
+    q = math.prod(primes_l)
+    x = np.asarray(_phase(ctx, ct, sk))
+    s = _host_scale(ct.scale_t)
+    inv_scale = pow(s, -1, p.t) if s != 1 else 1
+    coeffs = _rns.from_rns_host(x, primes_l)
+    m = np.asarray(pt.data)
+    worst = 1
+    for j, c in enumerate(coeffs):
+        m_raw = int(m[j]) * inv_scale % p.t
+        v = (c - m_raw) % q
+        if v > q // 2:
+            v = q - v
+        worst = max(worst, v)
+    return math.log2(q / 2.0) - math.log2(worst)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..params import SchemeParams, SecurityParams, make_scheme_params
 from ..ops import ntt as _ntt
+from ..ops import ntt_mxu as _ntt_mxu
 from ..ops import ntt_pallas as _ntt_pl
 from ..ops import rns as _rns
 
@@ -34,10 +35,19 @@ class SchemeContext:
     ntt_q: _ntt.NTTTables          # q basis
     ntt_bsk: _ntt.NTTTables        # Bsk basis (BEHZ multiply)
     # Fused-kernel twiddle tables (None on CPU / tiny n); use_pallas routes
-    # the hot transforms through ops/ntt_pallas.py
+    # the hot transforms through ops/ntt_pallas.py.  Leveled ops use
+    # zero-copy row slices (ntt_pallas.slice_tables) of the same tables.
     ntt_q_pl: _ntt_pl.PallasNTTTables | None
     ntt_bsk_pl: _ntt_pl.PallasNTTTables | None
     use_pallas: bool = flax.struct.field(pytree_node=False)
+    # MXU four-step engine tables (ops/ntt_mxu.py): used for the closed
+    # fwd->pointwise->inv loops of the multiply tensor product, where the
+    # engine's different evaluation order never meets stored NTT-form data
+    # (reference "Tensor Core Acceleration" future-work item,
+    # docs/NTT_OPTIMIZATION.md:306-314)
+    ntt_q_mxu: "object | None"
+    ntt_bsk_mxu: "object | None"
+    use_mxu: bool = flax.struct.field(pytree_node=False)
 
     # BEHZ multiply constants
     smq: _rns.SmMRqConsts          # q -> Bsk centered lift
@@ -134,15 +144,20 @@ def _level_host(primes: tuple[int, ...], t: int):
 
 
 def make_context(params: SchemeParams | None = None, use_pallas: bool | None = None,
-                 **security_kw) -> SchemeContext:
+                 use_mxu: bool | None = None, **security_kw) -> SchemeContext:
     """Build the full constants pytree (reference FHEContext ctor analog).
 
     use_pallas: route hot NTTs through the fused Pallas kernels.  Default:
-    auto (on for TPU backends when n >= 256)."""
+    auto (on for TPU backends when n >= 256).
+    use_mxu: route the multiply tensor-product transforms through the MXU
+    four-step engine.  Default: auto (on for TPU backends when n >= 4096,
+    where the matmul formulation wins the latency regime — BENCH_r02)."""
     if params is None:
         params = make_scheme_params(SecurityParams(**security_kw))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and params.n >= 256
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu" and params.n >= 4096
     n = params.n
     mod_switch = []
     dec_levels = []
@@ -183,6 +198,9 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
         ntt_q_pl=_ntt_pl.build_pallas_tables(n, params.q_primes) if use_pallas else None,
         ntt_bsk_pl=_ntt_pl.build_pallas_tables(n, params.bsk_primes) if use_pallas else None,
         use_pallas=use_pallas,
+        ntt_q_mxu=_ntt_mxu.build_mxu_tables(n, params.q_primes) if use_mxu else None,
+        ntt_bsk_mxu=_ntt_mxu.build_mxu_tables(n, params.bsk_primes) if use_mxu else None,
+        use_mxu=use_mxu,
         smq=smq_levels[0],
         floor_c=floor_levels[0],
         sk_c=sk_levels[0],

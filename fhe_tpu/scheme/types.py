@@ -31,11 +31,21 @@ class Ciphertext:
     data: jax.Array  # [k, num_components, n] uint32
     level: int = flax.struct.field(pytree_node=False, default=0)
     is_ntt_form: bool = flax.struct.field(pytree_node=False, default=False)
-    noise_budget: float = flax.struct.field(pytree_node=False, default=0.0)
+    # Tracked noise budget in bits (scheme/noise.py variance model).  A
+    # pytree LEAF, not static metadata: as a static field every distinct
+    # float would retrace each jitted op it flows through (the same
+    # compile-cache hazard the round-1 advisor flagged for scale_t).  The
+    # model's per-op updates are a handful of scalar jnp ops.
+    noise_budget: "float | jax.Array" = 0.0
     # BGV correction factor (SEAL-style): each mod-switch divides the
     # underlying plaintext by q_last mod t; decrypt multiplies back by
-    # scale_t = prod(dropped primes) mod t.  Always 1 for BFV.
-    scale_t: int = flax.struct.field(pytree_node=False, default=1)
+    # scale_t = prod(dropped primes) mod t, kept reduced < t.  Always 1 for
+    # BFV.  A pytree LEAF (traced uint32 scalar under jit), deliberately not
+    # static: a static field would recompile every jitted op for each
+    # distinct accumulated correction (round-1 advisor finding) — deep BGV
+    # circuits produce unboundedly many values.  Host code may still carry
+    # it as a plain int; ops accept either.
+    scale_t: "int | jax.Array" = 1
 
     @property
     def num_components(self) -> int:

@@ -73,8 +73,18 @@ def _flatten(name: str, obj) -> tuple[dict[str, np.ndarray], dict]:
     if tag is None:
         raise TypeError(f"cannot serialize {type(obj).__name__!r}")
     _, meta_fields = _TYPES[tag]
+
+    def _jsonable(v):
+        # scale_t may be a concrete device scalar (it is a traced pytree
+        # leaf inside jit); store it as a plain int
+        if isinstance(v, np.integer):
+            return int(v)
+        if hasattr(v, "shape") and getattr(v, "shape", None) == ():
+            return v.item()
+        return v
+
     meta: dict = {"type": tag,
-                  "meta": {f: getattr(obj, f) for f in meta_fields}}
+                  "meta": {f: _jsonable(getattr(obj, f)) for f in meta_fields}}
     arrays: dict[str, np.ndarray] = {}
     if tag == "GaloisKeys":
         meta["elements"] = sorted(int(g) for g in obj.data)

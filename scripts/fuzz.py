@@ -120,15 +120,19 @@ def run_circuit(seed: int) -> tuple[bool, str]:
         except ValueError:
             continue  # scale/level mismatch guards firing is fine
 
-    budget = fhe.estimate_noise_budget(ct, sk)
-    desc = (f"seed={seed} {scheme} n={n} logq={log_q} ops={ops_trace} "
-            f"budget={budget:.2f}")
-    # Once the true noise crosses the decryption bound the estimator measures
-    # the residual against the WRONG decrypted value and can read as a small
-    # positive number (verified on seed 3009: reported 0.006 bits, true noise
-    # 2^58 vs bound 2^43) — treat anything under 2 bits as exhausted.
-    if budget < 2.0:
-        return True, desc + " [noise (near-)exhausted — skipped check]"
+    # True-noise check against the MODEL plaintext (library API, round-1
+    # review item 8): exact_noise_budget goes negative past exhaustion, so
+    # there is no post-exhaustion blind spot to work around.
+    budget = fhe.exact_noise_budget(ct, sk, fhe.encode(model))
+    tracked = float(ct.noise_budget)
+    desc = (f"seed={seed} {scheme} n={n} logq={log_q} t={t} ops={ops_trace} "
+            f"budget={budget:.2f} tracked={tracked:.2f}")
+    if budget <= 0.0:
+        # genuinely exhausted; correctness is undefined, but the tracked
+        # budget must have warned (pinned at its 0 floor)
+        if tracked > 4.0:
+            return False, desc + " EXHAUSTED but tracked budget still high"
+        return True, desc + " [noise exhausted — flagged by library]"
     got = fhe.decode(fhe.decrypt(ct, sk)).astype(np.int64)
     if not np.array_equal(got, model):
         bad = np.nonzero(got != model)[0][:5]

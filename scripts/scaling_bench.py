@@ -33,6 +33,98 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+_DTYPE_BYTES = {"u32": 4, "s32": 4, "u64": 8, "f32": 4, "u8": 1, "s8": 1,
+                "pred": 1, "u16": 2, "s16": 2, "bf16": 2}
+
+
+def collective_inventory(compiled_text: str) -> dict:
+    """Parse an optimized HLO dump: count collectives and estimate the bytes
+    each moves (the result-tensor footprint; -start/-done async pairs are
+    counted once).  This is the evidence artifact behind the ICI-scaling
+    claims in docs/DISTRIBUTED.md."""
+    import re
+
+    counts = {}
+    bytes_by_op = {}
+    pat = re.compile(
+        r"=\s+(?:\()?([a-z0-9]+)\[([0-9,]*)\][^\s]*\s+(" +
+        "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+    for m in pat.finditer(compiled_text):
+        dtype, dims, op = m.group(1), m.group(2), m.group(3)
+        nbytes = _DTYPE_BYTES.get(dtype, 4)
+        for d in dims.split(","):
+            if d:
+                nbytes *= int(d)
+        counts[op] = counts.get(op, 0) + 1
+        bytes_by_op[op] = bytes_by_op.get(op, 0) + nbytes
+    return {"counts": counts, "bytes_by_op": bytes_by_op,
+            "total_bytes": sum(bytes_by_op.values())}
+
+
+def build_inventories(n: int = 8192) -> list[dict]:
+    """Compiled-HLO collective inventory for the rns / coeff / dp sharding
+    strategies at every mesh size (round-1 review item 7)."""
+    from fhe_tpu import FHE, primes
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.ops import ntt as _ntt
+    from fhe_tpu.parallel import distributed_ntt as dntt
+    from fhe_tpu.parallel import mesh as _mesh
+    from fhe_tpu.scheme import bfv
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = []
+    n_dev = len(jax.devices())
+    for d in (2, 4, 8):
+        if d > n_dev:
+            continue
+        devices = jax.devices()[:d]
+
+        # rns: prime-per-device multiply (tensor-parallel analog)
+        params = make_scheme_params(SecurityParams(
+            poly_degree=n, log_q=30 * max(2, d), hamming_weight=64))
+        fhe = FHE(params, seed=0)
+        pk, sk = fhe.keygen()
+        rlk = fhe.relinkey_gen(sk)
+        ct1 = fhe.encrypt(fhe.encode([5]), pk)
+        ct2 = fhe.encrypt(fhe.encode([3]), pk)
+        mesh = _mesh.make_mesh({"rns": d}, devices)
+        shard = _mesh.rns_sharding(mesh, 3)
+        a = jax.device_put(ct1.data, shard)
+        b = jax.device_put(ct2.data, shard)
+        txt = (jax.jit(lambda x, y: bfv.multiply(
+            fhe.ctx, ct1.replace(data=x), ct2.replace(data=y), rlk).data)
+            .lower(a, b).compile().as_text())
+        out.append({"strategy": "rns", "devices": d, "n": n,
+                    **collective_inventory(txt)})
+
+        # coeff: block-sharded distributed polymul (ppermute stage exchange)
+        ps = primes.find_ntt_primes(n, 3)
+        tb = _ntt.build_tables(n, ps)
+        cmesh = _mesh.make_mesh({"coeff": d}, devices)
+        arr = jnp.zeros((3, 1, n), jnp.uint32)
+        arr = jax.device_put(arr, NamedSharding(cmesh, P(None, None, "coeff")))
+        f = dntt.make_distributed_polymul(cmesh, tb, n)
+        txt = f.lower(arr, arr).compile().as_text()
+        out.append({"strategy": "coeff", "devices": d, "n": n,
+                    **collective_inventory(txt)})
+
+        # dp: batch-sharded vmapped multiply (embarrassingly parallel —
+        # the inventory documents that NO collectives appear)
+        dmesh = _mesh.make_mesh({"dp": d}, devices)
+        stack = jnp.broadcast_to(ct1.data, (d, *ct1.data.shape))
+        sharded = jax.device_put(stack, NamedSharding(dmesh, P("dp")))
+        vm = jax.jit(jax.vmap(lambda x: bfv.multiply(
+            fhe.ctx, ct1.replace(data=x), ct2, rlk).data),
+            out_shardings=NamedSharding(dmesh, P("dp")))
+        txt = vm.lower(sharded).compile().as_text()
+        out.append({"strategy": "dp", "devices": d, "n": n,
+                    **collective_inventory(txt)})
+        print(f"  inventory at {d} devices done", flush=True)
+    return out
+
+
 def main():
     from fhe_tpu import FHE
     from fhe_tpu.params import SecurityParams, make_scheme_params
@@ -80,11 +172,20 @@ def main():
               f"speedup {rate / base_rate:6.2f}x  "
               f"efficiency {rate / base_rate / d * 100:5.1f}%")
 
-    print(json.dumps({
+    artifact = {
         "metric": "bfv_ct_multiply_scaling",
         "platform": jax.devices()[0].platform,
         "n": n, "batch": batch, "results": results,
-    }))
+    }
+    if os.environ.get("SCALING_INVENTORY", "1") != "0":
+        print("building compiled-HLO collective inventories (n=8192)...")
+        artifact["collective_inventory"] = build_inventories()
+    out_path = os.environ.get("SCALING_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(f"wrote {out_path}")
+    print(json.dumps(artifact))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""Bootstrapping pipeline (round-1 review item 1): extract_lsb +
+blind_rotate composed with modulus_raise + key_switch, oracle-checked.
+
+Reference: include/fhe.cuh:138-140 (declared-only helpers) and the README
+"Bootstrapping Implementation" pipeline.  Small parameters: the blind
+rotation is 2n external products.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import jax.random as jrandom
+
+from fhe_tpu import FHE, oracle
+from fhe_tpu.params import SecurityParams, make_scheme_params
+from fhe_tpu.scheme import bfv, bootstrap
+from fhe_tpu.scheme.context import make_context
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=120, lambda_=0, hamming_weight=16))
+    ctx = make_context(params, use_pallas=False, use_mxu=False)
+    key = jrandom.PRNGKey(3)
+    kg, kb = jrandom.split(key)
+    pk, sk = jax.jit(bfv.keygen)(ctx, kg)
+    return params, ctx, pk, sk, kb
+
+
+def _encrypt_bit(ctx, pk, bit, key):
+    """Bit in the constant coefficient (coefficient encoding)."""
+    from fhe_tpu.scheme.types import Plaintext
+    data = np.zeros(ctx.n, dtype=np.uint32)
+    data[0] = bit
+    return jax.jit(bfv.encrypt)(ctx, key, pk, Plaintext(data=jnp.asarray(data)))
+
+
+def test_extract_lsb_phase(setup):
+    """The extracted LWE sample's phase must be ~n*bit mod 2n."""
+    params, ctx, pk, sk, kb = setup
+    n = params.n
+    s_coeff = np.asarray(bfv._inv_q(ctx, sk.data)[:, 0])  # [k, n]
+    p0 = int(np.asarray(ctx.ntt_q.p)[0])
+    s_int = np.where(s_coeff[0] == 1, 1,
+                     np.where(s_coeff[0] == p0 - 1, -1, 0)).astype(np.int64)
+    for bit in (0, 1):
+        ct = _encrypt_bit(ctx, pk, bit, jrandom.fold_in(kb, bit))
+        lwe = bootstrap.extract_lsb(ctx, ct)
+        a = np.asarray(lwe.a).astype(np.int64)
+        b = int(lwe.b)
+        phase = (b + int((a * s_int).sum())) % (2 * n)
+        # distance from n*bit must be < n/2
+        target = n * bit
+        dist = min((phase - target) % (2 * n), (target - phase) % (2 * n))
+        assert dist < n // 2, (bit, phase)
+
+
+@pytest.mark.parametrize("bit", [0, 1])
+def test_bootstrap_binary_roundtrip(setup, bit):
+    params, ctx, pk, sk, kb = setup
+    ct = _encrypt_bit(ctx, pk, bit, jrandom.fold_in(kb, 10 + bit))
+    out = bootstrap.bootstrap_binary(ctx, jrandom.fold_in(kb, 20 + bit),
+                                     ct, sk)
+    # decrypt and check the constant coefficient
+    pt = jax.jit(bfv.decrypt)(ctx, out, sk)
+    got = int(np.asarray(pt.data)[0])
+    assert got == bit
+    assert out.level == 0
+    # Only coefficient 0 is the payload (documented limit: the other
+    # coefficients carry test-vector plateaus at ~Delta/2).  Its residual
+    # against Delta*bit must leave several bits of margin.
+    from fhe_tpu.ops import rns as _rns
+    q = math.prod(params.q_primes)
+    delta = q // params.t
+    phase = np.asarray(bfv._phase(ctx, out, sk))
+    coeff0 = _rns.from_rns_host(phase[:, :1], params.q_primes)[0]
+    v = (coeff0 - delta * bit) % q
+    v = v if v <= q // 2 else q - v
+    assert v < delta // 16, f"payload noise {v} vs delta {delta}"
+
+
+def test_bootstrap_refreshes_leveled_ct(setup):
+    """A level-1 input: the pipeline must modulus-raise back to level 0 and
+    still decrypt to the right bit (exercises the full declared chain)."""
+    params, ctx, pk, sk, kb = setup
+    ct = _encrypt_bit(ctx, pk, 1, jrandom.fold_in(kb, 30))
+    ct1 = bfv.mod_switch_to_next(ctx, ct)
+    assert ct1.level == 1
+    out = bootstrap.bootstrap_binary(ctx, jrandom.fold_in(kb, 31), ct1, sk)
+    assert out.level == 0
+    got = int(np.asarray(jax.jit(bfv.decrypt)(ctx, out, sk).data)[0])
+    assert got == 1
+
+
+def test_blind_rotate_lookup(setup):
+    """Programmable bootstrap: a custom test polynomial evaluates a lookup
+    at the LWE phase (coefficient 0 of X^{n/2-u} * testv)."""
+    params, ctx, pk, sk, kb = setup
+    n = params.n
+    ct = _encrypt_bit(ctx, pk, 1, jrandom.fold_in(kb, 40))
+    lwe = bootstrap.extract_lsb(ctx, ct)
+    # testv with distinct constants per index region: f(k) = k-th coeff
+    q_l = math.prod(params.q_primes)
+    marker = 12345
+    vals = np.stack([np.full(n, marker % int(pi), dtype=np.uint32)
+                     for pi in params.q_primes])
+    out = bootstrap.blind_rotate(
+        ctx, lwe, sk=sk, key=jrandom.fold_in(kb, 41),
+        test_poly=jnp.asarray(vals)[:, None, :])
+    # phase(acc) = X^{n/2-u} * testv; with constant-vector testv the
+    # constant coefficient is +-marker; for bit=1 (u ~ n) it lands +marker
+    phase = np.asarray(bfv._phase(ctx, out, sk))  # [k, n] residues
+    from fhe_tpu.ops import rns as _rns
+    coeff0 = _rns.from_rns_host(phase[:, :1], params.q_primes)[0]
+    centered = coeff0 if coeff0 <= q_l // 2 else coeff0 - q_l
+    assert abs(centered - marker) < (1 << 46), centered

@@ -17,6 +17,7 @@ _EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
     "homomorphic_operations.py",
     "batch_processing.py",
     "bgv_operations.py",
+    "bootstrapping.py",
 ])
 def test_example_exits_zero(script):
     env = dict(os.environ)
@@ -25,7 +26,10 @@ def test_example_exits_zero(script):
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
     # single-core CI: run the same golden workflow at a smaller degree
-    env.setdefault("FHE_EXAMPLE_POLY_DEGREE", "1024")
+    # (bootstrapping pays 2n external products + a heavy scan compile on a
+    # cold cache — run it at n=128)
+    env.setdefault("FHE_EXAMPLE_POLY_DEGREE",
+                   "128" if script == "bootstrapping.py" else "1024")
     proc = subprocess.run(
         [sys.executable, str(_EXAMPLES / script)],
         capture_output=True, text=True, timeout=560, env=env)

@@ -3,6 +3,7 @@ engine and the host oracle."""
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from fhe_tpu import primes as _primes
@@ -62,3 +63,43 @@ def test_forward_is_negacyclic_evaluation(engines):
             x[i] * pow(psi, i, p) % p * pow(w, i * j % (n), p) for i in range(n)
         ) % p
         assert int(got[j]) == want, j
+
+
+def test_scheme_multiply_mxu_dispatch_bit_exact():
+    """The production multiply with use_mxu=True must be bit-exact with the
+    CT-engine multiply (round-1 review item 4: integrate the MXU NTT)."""
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
+    ctx_ref = make_context(params, use_pallas=False, use_mxu=False)
+    ctx_mxu = make_context(params, use_pallas=False, use_mxu=True)
+    key = jrandom.PRNGKey(9)
+    k1, k2, k3, k4 = jrandom.split(key, 4)
+    pk, sk = jax.jit(bfv.keygen)(ctx_ref, k1)
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    ct1 = jax.jit(bfv.encrypt)(ctx_ref, k2, pk, enc.encode([5, 10, 15, 20]))
+    ct2 = jax.jit(bfv.encrypt)(ctx_ref, k3, pk, enc.encode([3, 6, 9, 12]))
+    want = jax.jit(bfv.multiply_no_relin)(ctx_ref, ct1, ct2)
+    got = jax.jit(bfv.multiply_no_relin)(ctx_mxu, ct1, ct2)
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
+
+
+def test_ntt_16384_roundtrip_jnp():
+    """n = 16384 (the reference's declared maximum, docs/API_REFERENCE.md:62)
+    round-trips on the stage-sweep engine; the TPU bench exercises the fused
+    kernels at this size on device."""
+    from fhe_tpu import primes as _primes
+    from fhe_tpu.ops import ntt as _ntt2
+    n = 16384
+    ps = _primes.find_ntt_primes(n, 1)
+    tb = _ntt2.build_tables(n, ps)
+    a = jnp.asarray(np.random.default_rng(0).integers(
+        0, ps[0], (1, 1, n), dtype=np.uint32))
+    f = jax.jit(_ntt2.ntt_forward)(a, tb)
+    back = jax.jit(_ntt2.ntt_inverse)(f, tb)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a))

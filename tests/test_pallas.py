@@ -60,3 +60,19 @@ def test_polymul_matches_jnp():
 def test_small_n_rejected():
     with pytest.raises(ValueError, match="n >= 256"):
         npal.build_pallas_tables(128, primes.find_ntt_primes(128, 1))
+
+
+def test_leveled_slice_matches_jnp():
+    """Per-level transforms use row slices of the level-0 tables
+    (round-1 review item 5: Pallas at every level)."""
+    ps, tb, pt, a = make(512, 3, 2)
+    for k_lvl in (2, 1):
+        pt_l = npal.slice_tables(pt, k_lvl)
+        tb_l = _ntt.slice_tables(tb, k_lvl)
+        a_l = a[:k_lvl]
+        got = np.asarray(npal.ntt_forward(a_l, pt_l, interpret=True))
+        want = np.asarray(jax.jit(_ntt.ntt_forward)(a_l, tb_l))
+        np.testing.assert_array_equal(got, want)
+        back = np.asarray(npal.ntt_inverse(jnp.asarray(got), pt_l,
+                                           interpret=True))
+        np.testing.assert_array_equal(back, np.asarray(a_l))
