@@ -132,18 +132,23 @@ def _first_of_pair_mask(t: int, shape):
 
 
 def _fwd_sweep(x, w_tbl, w_sh_tbl, p, n):
-    """All CT stages on the flat [Bt, n] block (w_tbl: [S, n])."""
+    """All CT stages on the flat [Bt, n] block (w_tbl: [S, n]).
+
+    ONE Shoup multiply per stage: both slots of a butterfly pair share the
+    same twiddle (position j maps to table entry m + j//(2t), identical for
+    j and j+t), so w*x computed everywhere gives w*V at the V slots
+    directly and — rolled by -t — w*V at the U slots; the roll's wrap only
+    lands on V slots, which the mask discards."""
     for sidx, m in enumerate(_stage_ms(n)):
         t = n // (2 * m)
         mask = _first_of_pair_mask(t, x.shape)
         w = w_tbl[sidx][None]
         ws = w_sh_tbl[sidx][None]
-        v_at_first = jnp.roll(x, -t, axis=1)      # partner V seen from U slots
-        u_at_second = jnp.roll(x, t, axis=1)      # partner U seen from V slots
-        wv = mm.mul_mod_shoup(v_at_first, w, ws, p)   # w*V at U slots
         wx = mm.mul_mod_shoup(x, w, ws, p)            # w*V at V slots
+        wv_at_first = jnp.roll(wx, -t, axis=1)        # w*V at U slots
+        u_at_second = jnp.roll(x, t, axis=1)          # partner U at V slots
         x = jnp.where(mask,
-                      mm.add_mod(x, wv, p),            # U + w*V
+                      mm.add_mod(x, wv_at_first, p),   # U + w*V
                       mm.sub_mod(u_at_second, wx, p))  # U - w*V
     return x
 
