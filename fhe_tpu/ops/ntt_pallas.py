@@ -50,7 +50,10 @@ class PallasNTTTables(NamedTuple):
 
     fwd tables are indexed by ascending stage (m = 1, 2, ..., n/2); inv
     tables hold the Gentleman-Sande twiddles for the same m values (the
-    inverse sweep iterates them in reverse)."""
+    inverse sweep iterates them in reverse).  pair_mask is prime-independent
+    ([S, n]): True where position j is the FIRST slot of its stage-s
+    butterfly pair — precomputed so the kernel skips the per-stage
+    iota/div/mod mask arithmetic."""
 
     p: jax.Array            # [k, 1] (SMEM)
     n_inv: jax.Array        # [k, 1]
@@ -59,6 +62,7 @@ class PallasNTTTables(NamedTuple):
     fwd_w_sh: jax.Array
     inv_w: jax.Array        # [k, S, n]
     inv_w_sh: jax.Array
+    pair_mask: jax.Array    # [S, n] uint32 0/1
 
     @property
     def n(self) -> int:
@@ -94,6 +98,12 @@ def _build_pallas_host(n: int, prime_tuple: tuple[int, ...]):
         return np.stack([stage_tbl(tbl, m) for m in _stage_ms(n)],
                         axis=1).astype(_U)
 
+    # stored as uint32 0/1 (not bool): u32 has the friendliest Mosaic tile
+    # shape for the [S, n] block; the kernel pays one != 0 per stage on the
+    # broadcast [n] row
+    masks = np.stack([
+        ((np.arange(n) // (n // (2 * m))) % 2 == 0).astype(np.uint32)
+        for m in _stage_ms(n)])
     return dict(
         p=np.asarray(base.p)[:, None],
         n_inv=np.asarray(base.n_inv)[:, None],
@@ -102,6 +112,7 @@ def _build_pallas_host(n: int, prime_tuple: tuple[int, ...]):
         fwd_w_sh=pack(psi_sh),
         inv_w=pack(ipsi),
         inv_w_sh=pack(ipsi_sh),
+        pair_mask=masks,
     )
 
 
@@ -115,9 +126,12 @@ def from_tables(tb: NTTTables) -> PallasNTTTables:
 
 
 def slice_tables(pt: PallasNTTTables, k: int) -> PallasNTTTables:
-    """First-k-primes view (for modulus-switched levels): every field is
-    prime-major, so leveled transforms are zero-copy row slices."""
-    return PallasNTTTables(*(arr[:k] for arr in pt))
+    """First-k-primes view (for modulus-switched levels): per-prime fields
+    are zero-copy row slices; pair_mask is prime-independent."""
+    return pt._replace(
+        p=pt.p[:k], n_inv=pt.n_inv[:k], n_inv_shoup=pt.n_inv_shoup[:k],
+        fwd_w=pt.fwd_w[:k], fwd_w_sh=pt.fwd_w_sh[:k],
+        inv_w=pt.inv_w[:k], inv_w_sh=pt.inv_w_sh[:k])
 
 
 # ---------------------------------------------------------------------------
@@ -131,17 +145,17 @@ def _first_of_pair_mask(t: int, shape):
     return (j // t) % 2 == 0
 
 
-def _fwd_sweep(x, w_tbl, w_sh_tbl, p, n):
+def _fwd_sweep(x, w_tbl, w_sh_tbl, mask_tbl, p, n):
     """All CT stages on the flat [Bt, n] block (w_tbl: [S, n]).
 
     ONE Shoup multiply per stage: both slots of a butterfly pair share the
     same twiddle (position j maps to table entry m + j//(2t), identical for
     j and j+t), so w*x computed everywhere gives w*V at the V slots
     directly and — rolled by -t — w*V at the U slots; the roll's wrap only
-    lands on V slots, which the mask discards."""
+    lands on V slots, which the precomputed pair mask discards."""
     for sidx, m in enumerate(_stage_ms(n)):
         t = n // (2 * m)
-        mask = _first_of_pair_mask(t, x.shape)
+        mask = (mask_tbl[sidx] != 0)[None]
         w = w_tbl[sidx][None]
         ws = w_sh_tbl[sidx][None]
         wx = mm.mul_mod_shoup(x, w, ws, p)            # w*V at V slots
@@ -153,12 +167,12 @@ def _fwd_sweep(x, w_tbl, w_sh_tbl, p, n):
     return x
 
 
-def _inv_sweep(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
+def _inv_sweep(x, w_tbl, w_sh_tbl, mask_tbl, n_inv, n_inv_sh, p, n):
     """All GS stages (m = n/2 .. 1) + n^-1 scale on the flat [Bt, n] block."""
     stages = list(enumerate(_stage_ms(n)))[::-1]
     for sidx, m in stages:
         t = n // (2 * m)
-        mask = _first_of_pair_mask(t, x.shape)
+        mask = (mask_tbl[sidx] != 0)[None]
         w = w_tbl[sidx][None]
         ws = w_sh_tbl[sidx][None]
         v_at_first = jnp.roll(x, -t, axis=1)
@@ -170,19 +184,22 @@ def _inv_sweep(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
     return mm.mul_mod_shoup(x, n_inv, n_inv_sh, p)
 
 
-def _fwd_kernel(p_ref, w_ref, wsh_ref, x_ref, o_ref):
+def _fwd_kernel(p_ref, w_ref, wsh_ref, m_ref, x_ref, o_ref):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
-    o_ref[...] = _fwd_sweep(x_ref[0], w_ref[0], wsh_ref[0], p, n)[None]
+    o_ref[...] = _fwd_sweep(x_ref[0], w_ref[0], wsh_ref[0], m_ref[...],
+                            p, n)[None]
 
 
-def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, x_ref, o_ref):
+def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, m_ref, x_ref,
+                o_ref):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
     o_ref[...] = _inv_sweep(
-        x_ref[0], w_ref[0], wsh_ref[0], ninv_ref[i, 0], ninvsh_ref[i, 0], p, n
+        x_ref[0], w_ref[0], wsh_ref[0], m_ref[...], ninv_ref[i, 0],
+        ninvsh_ref[i, 0], p, n
     )[None]
 
 
@@ -197,9 +214,11 @@ def _specs(k, batch, bt, n, s):
     # per-prime table block: last two dims equal the array's -> allowed
     table = pl.BlockSpec((1, s, n), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((s, n), lambda i, b: (0, 0),
+                        memory_space=pltpu.VMEM)
     data = pl.BlockSpec((1, bt, n), lambda i, b: (i, b, 0),
                         memory_space=pltpu.VMEM)
-    return grid, smem, table, data
+    return grid, smem, table, mask, data
 
 
 def _pick_bt(batch: int, block_batch: int) -> int:
@@ -216,15 +235,15 @@ def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.fwd_w.shape[1]
-    grid, smem, table, data = _specs(k, batch, bt, n, s)
+    grid, smem, table, mask, data = _specs(k, batch, bt, n, s)
     return pl.pallas_call(
         _fwd_kernel,
         grid=grid,
-        in_specs=[smem, table, table, data],
+        in_specs=[smem, table, table, mask, data],
         out_specs=data,
         out_shape=jax.ShapeDtypeStruct((k, batch, n), jnp.uint32),
         interpret=interpret,
-    )(pt.p, pt.fwd_w, pt.fwd_w_sh, a)
+    )(pt.p, pt.fwd_w, pt.fwd_w_sh, pt.pair_mask, a)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_batch"))
@@ -234,15 +253,15 @@ def ntt_inverse(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.inv_w.shape[1]
-    grid, smem, table, data = _specs(k, batch, bt, n, s)
+    grid, smem, table, mask, data = _specs(k, batch, bt, n, s)
     return pl.pallas_call(
         _inv_kernel,
         grid=grid,
-        in_specs=[smem, smem, smem, table, table, data],
+        in_specs=[smem, smem, smem, table, table, mask, data],
         out_specs=data,
         out_shape=jax.ShapeDtypeStruct((k, batch, n), jnp.uint32),
         interpret=interpret,
-    )(pt.p, pt.n_inv, pt.n_inv_shoup, pt.inv_w, pt.inv_w_sh, a)
+    )(pt.p, pt.n_inv, pt.n_inv_shoup, pt.inv_w, pt.inv_w_sh, pt.pair_mask, a)
 
 
 def polymul_negacyclic(a: jax.Array, b: jax.Array, tb: NTTTables,

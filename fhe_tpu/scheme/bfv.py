@@ -157,14 +157,17 @@ def keygen(ctx: SchemeContext, key: jax.Array) -> tuple[PublicKey, SecretKey]:
 
 
 def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
-                      target_ntt: jax.Array) -> jax.Array:
+                      target_ntt: jax.Array,
+                      t_scale_error: bool = False) -> jax.Array:
     """Keys encrypting (q/q_j) * target per RNS digit j.
 
     target_ntt: [k, 1, n] the secret-dependent polynomial to switch onto s
     (s^2 for relin, s(x^g) for Galois).  Returns [k_digits, k, 2, n] NTT form.
 
     TPU-native analog of the reference's base-2^w loop (src/fhe.cu:76-111):
-    the decomposition base is the RNS prime basis itself."""
+    the decomposition base is the RNS prime basis itself.  t_scale_error=True
+    produces BGV keys (error t*e, preserving the LSB plaintext slot) — the
+    only difference between the schemes' key material."""
     p = ctx.params
     tb = ctx.ntt_q
     k = ctx.k
@@ -181,6 +184,9 @@ def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
         key, k_a, k_e = jax.random.split(key, 3)
         a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, n)
         e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, n)
+        if t_scale_error:
+            from ..ops import poly as _poly
+            e = _poly.mul_scalar(e, p.t, tb)
         a_ntt = _fwd_q(ctx, a)
         e_ntt = _fwd_q(ctx, e)
         w_target = mm.mul_mod_barrett(

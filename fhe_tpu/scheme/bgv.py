@@ -116,30 +116,10 @@ def keygen(ctx: SchemeContext, key: jax.Array) -> tuple[PublicKey, SecretKey]:
 
 def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
                       target_ntt: jax.Array) -> jax.Array:
-    """Same RNS-digit gadget as bfv._keyswitch_keygen with t-scaled error."""
-    p = ctx.params
-    tb = ctx.ntt_q
-    k = ctx.k
-    q = p.q
-    w = np.zeros((k, k), dtype=np.uint32)
-    for j, pj in enumerate(p.q_primes):
-        for i, pi in enumerate(p.q_primes):
-            w[j, i] = (q // pj) % pi
-    w = jnp.asarray(w)
-    keys = []
-    for j in range(k):
-        key, k_a, k_e = jax.random.split(key, 3)
-        a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, p.n)
-        e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, p.n)
-        a_ntt = _fwd_q(ctx, a)
-        te_ntt = _fwd_q(ctx, _t_scale(ctx, e))
-        w_target = mm.mul_mod_barrett(
-            w[j][:, None, None], target_ntt, _p3(tb), tb.mu[:, None, None])
-        b_ntt = mm.add_mod(
-            mm.sub_mod(te_ntt, _ntt.pointwise_mul(a_ntt, sk.data, tb), _p3(tb)),
-            w_target, _p3(tb))
-        keys.append(jnp.concatenate([b_ntt, a_ntt], axis=1))
-    return jnp.stack(keys)
+    """The shared RNS-digit gadget with BGV's t-scaled error (one
+    implementation: bfv._keyswitch_keygen with t_scale_error=True)."""
+    return _bfv._keyswitch_keygen(ctx, key, sk, target_ntt,
+                                  t_scale_error=True)
 
 
 def relinkey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey) -> RelinKeys:
