@@ -81,6 +81,7 @@ class FHE:
         # neither pin dead keys in HBM nor grow unboundedly
         self._rlk_cache: dict = {}
         self._gal_cache: dict = {}
+        self._bootstrap_ks_cache: dict = {}
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -232,8 +233,20 @@ class FHE:
         from .scheme import bootstrap as _bs
         if self.scheme_name != "bfv":
             raise NotImplementedError("bootstrap pipeline is BFV-only")
+        # the pipeline's final RLWE'->RLWE switch keys depend only on sk:
+        # generate once per secret key and reuse (weakref-evicted like the
+        # relin/Galois caches)
+        ck = id(sk)
+        ks = self._bootstrap_ks_cache.get(ck)
+        if ks is None:
+            import weakref
+            ks = _bs.keyswitch_keygen(self.ctx, self._next_key(), sk, sk)
+            self._bootstrap_ks_cache[ck] = ks
+            weakref.finalize(
+                sk, lambda c=self._bootstrap_ks_cache, i=ck: c.pop(i, None))
         with self.monitor.time("bootstrap_binary"):
-            return _bs.bootstrap_binary(self.ctx, self._next_key(), ct, sk, bsk)
+            return _bs.bootstrap_binary(self.ctx, self._next_key(), ct, sk,
+                                        bsk, ks_keys=ks)
 
     def estimate_noise_budget(self, ct, sk: SecretKey) -> float:
         return self._scheme.estimate_noise_budget(self.ctx, ct, sk)

@@ -139,12 +139,6 @@ def slice_tables(pt: PallasNTTTables, k: int) -> PallasNTTTables:
 # ---------------------------------------------------------------------------
 
 
-def _first_of_pair_mask(t: int, shape):
-    """mask[., j] True where flat position j is the FIRST element of its pair."""
-    j = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=len(shape) - 1)
-    return (j // t) % 2 == 0
-
-
 def _fwd_sweep(x, w_tbl, w_sh_tbl, mask_tbl, p, n):
     """All CT stages on the flat [Bt, n] block (w_tbl: [S, n]).
 

@@ -47,13 +47,22 @@ def sub(a: jax.Array, b: jax.Array, tb) -> jax.Array:
 
 
 def _scalar_residues(scalar, tb) -> jax.Array:
-    """python uint32 -> [k] residues mod tb.p, jit-safe (tb.p may be traced;
-    the remainder runs on device over k scalars, negligible)."""
+    """python int -> [k] residues mod tb.p.
+
+    Host path (tb.p concrete): exact per-prime reduction of ANY python int
+    (negatives and multi-prime products included).  Traced path (inside a
+    jit where tb.p is a tracer): a device-side remainder over k scalars,
+    which requires the scalar to fit uint32."""
     if isinstance(scalar, (int, np.integer)):
         v = int(scalar)
-        if not 0 <= v < (1 << 32):
-            raise ValueError(f"scalar {v} out of uint32 range")
-        return jnp.mod(jnp.full_like(tb.p, np.uint32(v)), tb.p)
+        if not isinstance(tb.p, jax.core.Tracer):
+            return jnp.asarray(
+                [v % int(p) for p in np.asarray(tb.p)], jnp.uint32)
+        if 0 <= v < (1 << 32):
+            return jnp.mod(jnp.full_like(tb.p, np.uint32(v)), tb.p)
+        raise ValueError(
+            f"scalar {v} does not fit uint32 and the prime table is traced; "
+            "reduce it per prime on the host first")
     return scalar
 
 

@@ -20,8 +20,10 @@ Conventions:
   * ciphertexts canonical in coefficient domain ([0, q) representatives);
     NTT forms used internally and available via to_ntt/to_coeff,
   * every function is pure; randomness comes in as a jax PRNG key,
-  * noise_budget is static float bookkeeping like the reference's
-    (src/fhe.cu:168,195-196,222); estimate_noise_budget gives the exact value.
+  * noise_budget is a TRACED scalar pytree leaf following the variance
+    model in scheme/noise.py (the reference's analog is ad-hoc float
+    bookkeeping, src/fhe.cu:168,195-196,222); estimate_noise_budget /
+    exact_noise_budget give measured values.
 
 All semantics are pinned by tests against fhe_tpu.oracle (tests/test_bfv.py),
 including bit-exactness of the multiply pipeline vs oracle.behz_multiply_no_relin.
@@ -185,7 +187,6 @@ def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
         a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, n)
         e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, n)
         if t_scale_error:
-            from ..ops import poly as _poly
             e = _poly.mul_scalar(e, p.t, tb)
         a_ntt = _fwd_q(ctx, a)
         e_ntt = _fwd_q(ctx, e)

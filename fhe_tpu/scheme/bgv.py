@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as _ntt
+from ..ops import poly as _poly
 from ..ops import rns as _rns
 from ..ops import sampling
 from .context import SchemeContext
@@ -50,7 +51,6 @@ apply_galois = _bfv.apply_galois
 
 def _t_scale(ctx: SchemeContext, e: jax.Array, level: int = 0) -> jax.Array:
     """t * e mod q_i on [k, B, n] residues (L4 poly scalar multiply)."""
-    from ..ops import poly as _poly
     return _poly.mul_scalar(e, ctx.params.t, _tb(ctx, level))
 
 
@@ -58,12 +58,9 @@ def _t_scale(ctx: SchemeContext, e: jax.Array, level: int = 0) -> jax.Array:
 
 
 def _host_scale(v):
-    """Concrete integer value of a scale_t, or None if traced."""
-    if isinstance(v, jax.core.Tracer):
-        return None
-    if isinstance(v, (int, np.integer)):
-        return int(v)
-    return int(v)  # concrete device scalar
+    """Concrete integer value of a scale_t (python int, numpy scalar, or a
+    concrete device scalar), or None if traced."""
+    return None if isinstance(v, jax.core.Tracer) else int(v)
 
 
 def _t_var_consts(t: int):
@@ -204,11 +201,19 @@ def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
 
 
 def _check_compat(a: Ciphertext, b: Ciphertext):
+    """Level/domain check plus the BGV scale_t guard.
+
+    CAVEAT: the scale_t guard runs only when both factors are concrete —
+    which covers the eager path and the per-op jits of the FHE wrapper
+    (their inputs are concrete outputs of the previous op).  Inside a
+    whole-circuit user jit the factors are tracers and the guard is
+    necessarily skipped (jax cannot branch on traced values); mixing
+    differently-scaled operands there silently mis-adds plaintexts — keep
+    operand scales aligned via mod_switch_to_level, as every supported
+    workflow does (tests/test_bgv_scheme.py::test_add_rejects_scale_mismatch
+    pins the eager guard)."""
     _bfv._check_compat(a, b)
     ha, hb = _host_scale(a.scale_t), _host_scale(b.scale_t)
-    # traced scale_t cannot be compared at trace time; levels already
-    # matched above, and same-level ciphertexts share the mod-switch chain's
-    # canonical factor unless the user multiplied them apart
     if ha is not None and hb is not None and ha != hb:
         raise ValueError(
             f"BGV scale_t mismatch ({ha} vs {hb}): "
@@ -245,7 +250,6 @@ def _pt_for_scale(ctx: SchemeContext, pt: Plaintext, scale_t) -> Plaintext:
 
 def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
     """c0 += m (no Delta scaling — BGV plaintext sits in the LSB); any level."""
-    from ..ops import poly as _poly
     ct = to_coeff(ctx, ct)
     pt = _pt_for_scale(ctx, pt, ct.scale_t)
     tb = _tb(ctx, ct.level)
@@ -254,7 +258,6 @@ def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
 
 
 def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    from ..ops import poly as _poly
     ct = to_coeff(ctx, ct)
     pt = _pt_for_scale(ctx, pt, ct.scale_t)
     tb = _tb(ctx, ct.level)

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as _ntt
+from ..ops import poly as _poly
 from ..ops import rns as _rns
 from ..ops import sampling
 from . import bfv as _bfv
@@ -117,7 +118,6 @@ def extract_lsb(ctx: SchemeContext, ct: Ciphertext, index: int = 0
     tb = _bfv._tb(ctx, level)
 
     half_t = p.t // 2
-    from ..ops import poly as _poly
     scaled = _poly.mul_scalar(ct.data, half_t, tb)      # [kl, 2, n]
 
     dc = _small_mod_consts(ctx, level)
@@ -203,14 +203,14 @@ def make_bootstrap_key(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
             s_ntt_poly, targets[d], tb.p[:, None], tb.mu[:, None]))
     tgt = jnp.stack(targets, axis=1)                     # [kl, 2kl, n_ring]
 
-    def add_msg(bits):
+    def add_msg(bits, sign_idx):
         # bits [n] -> b_ntt + bit_j * tgt on the matching rows
         msg = tgt[:, None, :, :] * bits[None, :, None, None]  # 0/1 gate
-        return mm.add_mod(b_ntt[:, :, 0 if bits is pos_bits else 1],
+        return mm.add_mod(b_ntt[:, :, sign_idx],
                           msg.astype(jnp.uint32), tb.p[:, None, None, None])
 
-    b_pos = add_msg(pos_bits)
-    b_neg = add_msg(neg_bits)
+    b_pos = add_msg(pos_bits, 0)
+    b_neg = add_msg(neg_bits, 1)
     # assemble [n, 2kl, kl, 2, n_ring]
     def pack(bn, an):
         bt = jnp.transpose(bn, (1, 2, 0, 3))             # [n, 2kl, kl, n]
@@ -291,6 +291,11 @@ def blind_rotate(ctx: SchemeContext, lwe: LWECiphertext,
         if sk is None or key is None:
             raise ValueError("blind_rotate needs bsk, or sk + key")
         bsk = make_bootstrap_key(ctx, key, sk, level)
+    elif bsk.level != level:
+        raise ValueError(
+            f"bootstrap key was generated at level {bsk.level} but the "
+            f"rotation was requested at level {level}; regenerate with "
+            f"make_bootstrap_key(..., level={level})")
     level = bsk.level
     kl = ctx.k - level
     tb = _bfv._tb(ctx, level)
@@ -369,6 +374,11 @@ def bootstrap_binary(ctx: SchemeContext, key: jax.Array, ct: Ciphertext,
     with noise independent of the input noise."""
     p = ctx.params
     level = ct.level
+    if bsk is not None and bsk.level != level:
+        raise ValueError(
+            f"bootstrap key level {bsk.level} != ciphertext level {level}: "
+            "the accumulator ring and the offset/raise arithmetic must use "
+            "the same modulus chain position")
     k1, k2 = jax.random.split(key)
 
     # 1. extract (at the input's level — fewer primes, cheaper rotation)
@@ -395,7 +405,6 @@ def bootstrap_binary(ctx: SchemeContext, key: jax.Array, ct: Ciphertext,
     # alpha*q_level error (alpha*q_level*q_drop = alpha*q_0 = 0 mod q_0) —
     # the standard BFV modulus-raise trick.  Residual noise: q_drop * e.
     if level:
-        from ..ops import poly as _poly
         lv_rot = _noise.bfv_variance(p, level, out.noise_budget)
         out = _bfv.modulus_raise(ctx, out)
         q_drop = math.prod(int(x) for x in p.q_primes[kl:])

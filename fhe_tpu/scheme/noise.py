@@ -143,13 +143,15 @@ def bgv_multiply(params: SchemeParams, lv1, lv2):
 
 
 def keyswitch_add(params: SchemeParams, level: int) -> float:
-    """RNS-digit key switching adds sum_j d_j (x) e_j over the k_L digits
-    (centered uniform digits, Var q_j^2/12; n-term convolutions):
-    V_add = sum_j n * (q_j^2 / 12) * sigma^2, as log2.  Identical for BFV
+    """RNS-digit key switching adds sum_j d_j (x) e_j over the k_L digits.
+
+    The digits produced by bfv._keyswitch_inner are UNCENTERED residues in
+    [0, q_j), so E[d^2] = q_j^2/3 (not the centered q^2/12):
+    V_add = sum_j n * (q_j^2 / 3) * sigma^2, as log2.  Identical for BFV
     and BGV keys (BGV's t*e error divides back out in e units)."""
     sig2 = params.security.sigma ** 2
     n = params.n
-    v = sum(n * (float(qj) ** 2 / 12.0) * sig2
+    v = sum(n * (float(qj) ** 2 / 3.0) * sig2
             for qj in params.q_primes[: params.k - level])
     return math.log2(v)
 

@@ -6,8 +6,9 @@ pytrees of uint32 residue tensors instead of vectors of device pointers:
   * residue layout is prime-major ``[k, ..., n]`` so the leading axis shards
     across chips (SURVEY.md §2 parallelism table),
   * ``level`` / ``is_ntt_form`` are static metadata (part of the trace),
-  * ``noise_budget`` is host-side bookkeeping like the reference's float
-    (``include/fhe.cuh:67``, updated at ``src/fhe.cu:168,195-196,222``).
+  * ``noise_budget`` and BGV's ``scale_t`` are TRACED pytree leaves (see
+    the field comments below) — do not branch on them inside jit.  The
+    reference's analog is a host float (``include/fhe.cuh:67``).
 """
 
 from __future__ import annotations
