@@ -37,6 +37,9 @@ _TYPES: dict[str, tuple[type, tuple[str, ...]]] = {
     "RelinKeys": (RelinKeys, ()),
     "GaloisKeys": (GaloisKeys, ()),
 }
+# BootstrapKey (scheme/bootstrap.py) is special-cased by name in
+# _flatten/_unflatten: it holds pos/neg tensors instead of .data, and the
+# import is lazy to avoid a utils <-> scheme cycle.
 _CLS_TO_TAG = {cls: tag for tag, (cls, _) in _TYPES.items()}
 
 
@@ -69,6 +72,12 @@ def _params_from_meta(meta: dict) -> SchemeParams:
 def _flatten(name: str, obj) -> tuple[dict[str, np.ndarray], dict]:
     if isinstance(obj, SchemeParams):
         return {}, _params_to_meta(obj)
+    if type(obj).__name__ == "BootstrapKey":
+        return (
+            {f"{name}/pos": np.asarray(obj.pos),
+             f"{name}/neg": np.asarray(obj.neg)},
+            {"type": "BootstrapKey", "meta": {"level": int(obj.level)}},
+        )
     tag = _CLS_TO_TAG.get(type(obj))
     if tag is None:
         raise TypeError(f"cannot serialize {type(obj).__name__!r}")
@@ -98,6 +107,11 @@ def _flatten(name: str, obj) -> tuple[dict[str, np.ndarray], dict]:
 def _unflatten(name: str, meta: dict, npz) -> _t.Any:
     if meta["type"] == "SchemeParams":
         return _params_from_meta(meta)
+    if meta["type"] == "BootstrapKey":
+        from ..scheme.bootstrap import BootstrapKey
+        return BootstrapKey(pos=jnp.asarray(npz[f"{name}/pos"]),
+                            neg=jnp.asarray(npz[f"{name}/neg"]),
+                            level=meta["meta"]["level"])
     cls, _ = _TYPES[meta["type"]]
     if meta["type"] == "GaloisKeys":
         data = {int(g): jnp.asarray(npz[f"{name}/g{g}"])

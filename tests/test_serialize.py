@@ -82,3 +82,25 @@ def test_ciphertext_scale_t_roundtrips(tmp_path):
     assert out["ct"].scale_t == ct.scale_t
     got = fhe.decode(fhe.decrypt(out["ct"], out["sk"]))
     assert list(got[:2]) == [41, 42]
+
+
+def test_bootstrap_key_roundtrips(tmp_path):
+    """RGSW bootstrap keys persist (production workflows generate them once
+    per secret key)."""
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv, bootstrap
+    from fhe_tpu.scheme.context import make_context
+
+    params = make_scheme_params(SecurityParams(
+        poly_degree=64, log_q=60, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=False, use_mxu=False)
+    kg, kb = jrandom.split(jrandom.PRNGKey(0))
+    _, sk = bfv.keygen(ctx, kg)
+    bsk = bootstrap.make_bootstrap_key(ctx, kb, sk)
+    path = tmp_path / "bsk.npz"
+    serialize.save(path, {"bsk": bsk})
+    out = serialize.load(path)["bsk"]
+    assert out.level == bsk.level
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(bsk.pos))
+    np.testing.assert_array_equal(np.asarray(out.neg), np.asarray(bsk.neg))
