@@ -144,6 +144,9 @@ def main():
             lambda a: bfv.multiply(
                 fhe_ct.ctx, c1c.replace(data=a), c2c, rlk_c).data,
             c1c.data, iters=85)
+        got_ct = fhe_ct.decode(fhe_ct.decrypt(
+            fhe_ct.multiply(c1c, c2c, rlk_c), sk_c))
+        assert list(got_ct[:4]) == [15, 60, 135, 240], got_ct[:4]
 
     # n = 16384 (the reference's declared max size, docs/API_REFERENCE.md:62):
     # fused-kernel forward NTT, cross-checked bit-exact against the jnp engine

@@ -56,6 +56,7 @@ class PallasNTTTables(NamedTuple):
     iota/div/mod mask arithmetic."""
 
     p: jax.Array            # [k, 1] (SMEM)
+    mu: jax.Array           # [k, 1] Barrett constants (pointwise products)
     n_inv: jax.Array        # [k, 1]
     n_inv_shoup: jax.Array  # [k, 1]
     fwd_w: jax.Array        # [k, S, n]
@@ -106,6 +107,7 @@ def _build_pallas_host(n: int, prime_tuple: tuple[int, ...]):
         for m in _stage_ms(n)])
     return dict(
         p=np.asarray(base.p)[:, None],
+        mu=np.asarray(base.mu)[:, None],
         n_inv=np.asarray(base.n_inv)[:, None],
         n_inv_shoup=np.asarray(base.n_inv_shoup)[:, None],
         fwd_w=pack(psi),
@@ -129,7 +131,8 @@ def slice_tables(pt: PallasNTTTables, k: int) -> PallasNTTTables:
     """First-k-primes view (for modulus-switched levels): per-prime fields
     are zero-copy row slices; pair_mask is prime-independent."""
     return pt._replace(
-        p=pt.p[:k], n_inv=pt.n_inv[:k], n_inv_shoup=pt.n_inv_shoup[:k],
+        p=pt.p[:k], mu=pt.mu[:k],
+        n_inv=pt.n_inv[:k], n_inv_shoup=pt.n_inv_shoup[:k],
         fwd_w=pt.fwd_w[:k], fwd_w_sh=pt.fwd_w_sh[:k],
         inv_w=pt.inv_w[:k], inv_w_sh=pt.inv_w_sh[:k])
 
@@ -265,3 +268,61 @@ def polymul_negacyclic(a: jax.Array, b: jax.Array, tb: NTTTables,
     fb = ntt_forward(b, pt, interpret=interpret)
     prod = mm.mul_mod_barrett(fa, fb, tb.p[:, None, None], tb.mu[:, None, None])
     return ntt_inverse(prod, pt, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# fused ciphertext tensor product: fwd(x), fwd(y), pointwise, inv — ONE kernel
+# ---------------------------------------------------------------------------
+
+
+def _tensor_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
+                   iw_ref, iwsh_ref, m_ref, x_ref, y_ref, o_ref):
+    n = x_ref.shape[-1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    xy = jnp.concatenate([x_ref[0], y_ref[0]], axis=0)      # [4, n]
+    f = _fwd_sweep(xy, fw_ref[0], fwsh_ref[0], m_ref[...], p, n)
+    a0, a1, b0, b1 = f[0:1], f[1:2], f[2:3], f[3:4]
+    c0 = mm.mul_mod_barrett(a0, b0, p, mu)
+    c2 = mm.mul_mod_barrett(a1, b1, p, mu)
+    c1 = mm.add_mod(mm.mul_mod_barrett(a0, b1, p, mu),
+                    mm.mul_mod_barrett(a1, b0, p, mu), p)
+    prod = jnp.concatenate([c0, c1, c2], axis=0)            # [3, n]
+    o_ref[...] = _inv_sweep(prod, iw_ref[0], iwsh_ref[0], m_ref[...],
+                            ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tensor_product(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
+                   interpret: bool = False) -> jax.Array:
+    """(c0, c1, c2) = x (x) y for 2-component [k, 2, n] ciphertext halves,
+    entirely inside ONE kernel per prime: both forward transforms, the three
+    pointwise products, and the inverse transform never leave VMEM — the
+    multiply hot path (SURVEY.md §3.4) without inter-kernel HBM round trips.
+
+    Bit-exact with the composed ntt_forward/pointwise/ntt_inverse path
+    (tests/test_pallas.py).  VMEM: 4 twiddle tables + mask + 7 data rows
+    (~5 MB at n = 16384)."""
+    k, two, n = x.shape
+    assert two == 2 and y.shape == x.shape
+    s = pt.fwd_w.shape[1]
+    grid = (k,)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table = pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((s, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    din = pl.BlockSpec((1, 2, n), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _tensor_kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, table, table, table, table, mask,
+                  din, din],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((k, 3, n), jnp.uint32),
+        interpret=interpret,
+    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.fwd_w, pt.fwd_w_sh,
+      pt.inv_w, pt.inv_w_sh, pt.pair_mask, x, y)

@@ -400,14 +400,23 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
         inv_q_fn = lambda c, x: _ntt_mxu.ntt_inverse(x, tbm_q)
         fwd_b_fn = lambda c, x: _ntt_mxu.ntt_forward(x, c.ntt_bsk_mxu)
         inv_b_fn = lambda c, x: _ntt_mxu.ntt_inverse(x, c.ntt_bsk_mxu)
+        tens_q = _tensor_product(ctx, a.data, b.data, _tb(ctx, level),
+                                 fwd_q_fn, inv_q_fn)               # [k-L, 3, n]
+        tens_bsk = _tensor_product(ctx, lift_a, lift_b, tb_bsk,
+                                   fwd_b_fn, inv_b_fn)             # [l+1, 3, n]
+    elif ctx.use_pallas:
+        # fully-fused single-kernel tensor product: both transforms, the
+        # pointwise products, and the inverse never leave VMEM
+        tens_q = _ntt_pl.tensor_product(
+            a.data, b.data, _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
+        tens_bsk = _ntt_pl.tensor_product(lift_a, lift_b, ctx.ntt_bsk_pl)
     else:
         fwd_q_fn = lambda c, x: _fwd_q(c, x, level)
         inv_q_fn = lambda c, x: _inv_q(c, x, level)
-        fwd_b_fn, inv_b_fn = _fwd_bsk, _inv_bsk
-    tens_q = _tensor_product(ctx, a.data, b.data, _tb(ctx, level),
-                             fwd_q_fn, inv_q_fn)                   # [k-L, 3, n]
-    tens_bsk = _tensor_product(ctx, lift_a, lift_b, tb_bsk,
-                               fwd_b_fn, inv_b_fn)                 # [l+1, 3, n]
+        tens_q = _tensor_product(ctx, a.data, b.data, _tb(ctx, level),
+                                 fwd_q_fn, inv_q_fn)               # [k-L, 3, n]
+        tens_bsk = _tensor_product(ctx, lift_a, lift_b, tb_bsk,
+                                   _fwd_bsk, _inv_bsk)             # [l+1, 3, n]
 
     # Step 3: scale by t and FastFloor into Bsk.
     t_mod_q = ctx.dec_c.t  # t < every prime: same residue everywhere

@@ -307,10 +307,16 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
             tbm = _ntt_mxu.slice_tables(ctx.ntt_q_mxu, ctx.k - level)
             fwd = lambda c, x: _ntt_mxu.ntt_forward(x, tbm)
             inv = lambda c, x: _ntt_mxu.ntt_inverse(x, tbm)
+            data = _bfv._tensor_product(ctx, a.data, b.data, tb, fwd, inv)
+        elif ctx.use_pallas:
+            from ..ops import ntt_pallas as _ntt_pl
+            data = _ntt_pl.tensor_product(
+                a.data, b.data,
+                _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
         else:
             fwd = lambda c, x: _fwd_q(c, x, level)
             inv = lambda c, x: _inv_q(c, x, level)
-        data = _bfv._tensor_product(ctx, a.data, b.data, tb, fwd, inv)
+            data = _bfv._tensor_product(ctx, a.data, b.data, tb, fwd, inv)
     v = _noise.bgv_multiply(
         ctx.params,
         _noise.bgv_variance(ctx.params, level, a.noise_budget),

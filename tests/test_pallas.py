@@ -76,3 +76,24 @@ def test_leveled_slice_matches_jnp():
         back = np.asarray(npal.ntt_inverse(jnp.asarray(got), pt_l,
                                            interpret=True))
         np.testing.assert_array_equal(back, np.asarray(a_l))
+
+
+def test_fused_tensor_product_matches_composed():
+    """The one-kernel ciphertext tensor product == fwd/pointwise/inv chain."""
+    ps, tb, pt, _ = make(512, 3, 1)
+    x = jnp.asarray(np.stack([
+        RNG.integers(0, p, (2, 512), dtype=np.uint32) for p in ps]))
+    y = jnp.asarray(np.stack([
+        RNG.integers(0, p, (2, 512), dtype=np.uint32) for p in ps]))
+    got = np.asarray(npal.tensor_product(x, y, pt, interpret=True))
+    fx = jax.jit(_ntt.ntt_forward)(x, tb)
+    fy = jax.jit(_ntt.ntt_forward)(y, tb)
+    c0 = _ntt.pointwise_mul(fx[:, :1], fy[:, :1], tb)
+    c2 = _ntt.pointwise_mul(fx[:, 1:], fy[:, 1:], tb)
+    from fhe_tpu.ops import modmath as mm
+    c1 = mm.add_mod(_ntt.pointwise_mul(fx[:, :1], fy[:, 1:], tb),
+                    _ntt.pointwise_mul(fx[:, 1:], fy[:, :1], tb),
+                    tb.p[:, None, None])
+    want = np.asarray(jax.jit(_ntt.ntt_inverse)(
+        jnp.concatenate([c0, c1, c2], axis=1), tb))
+    np.testing.assert_array_equal(got, want)
