@@ -202,6 +202,24 @@ class FHE:
             return self._scheme.rotate_rows(
                 self.ctx, ct, steps, gal_keys, keys_at_level=ct.level > 0)
 
+    def rotate_rows_hoisted(self, ct, steps_list, gal_keys: GaloisKeys):
+        """Many rotations of ONE ciphertext sharing a single hoisted gadget
+        decomposition (each step must have a direct Galois key: generate
+        with galoiskey_gen(sk, elements=[pow(3, s, 2n) for s in steps]))."""
+        m = 2 * self.params.n
+        elements = [pow(3, int(s), m) for s in steps_list]
+        for g in elements:
+            if g not in gal_keys.data:
+                raise KeyError(
+                    f"no galois key for element {g}; generate with "
+                    f"galoiskey_gen(sk, elements={elements})")
+        if ct.level:
+            gal_keys = self._gal_at(gal_keys, ct.level)
+        with self.monitor.time("rotate_hoisted"):
+            return self._scheme.apply_galois_hoisted(
+                self.ctx, ct, elements, gal_keys,
+                bgv=self.scheme_name == "bgv", keys_at_level=ct.level > 0)
+
     def rotate_columns(self, ct, gal_keys: GaloisKeys):
         if ct.level:
             gal_keys = self._gal_at(gal_keys, ct.level)

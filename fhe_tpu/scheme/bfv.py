@@ -31,6 +31,7 @@ including bit-exactness of the multiply pipeline vs oracle.behz_multiply_no_reli
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -497,6 +498,40 @@ def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys,
         _noise.add(_v_of(ctx, ct), _noise.keyswitch_add(ctx.params, level))))
 
 
+def _digits_ntt(ctx: SchemeContext, poly: jax.Array, level: int) -> jax.Array:
+    """RNS-gadget decomposition of a component, NTT'd: [k-L, n] coeff ->
+    [k_primes, k_digits, n] NTT form.  This is the expensive half of a key
+    switch; hoisted rotations share ONE of these across many automorphisms."""
+    tb = _tb(ctx, level)
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
+    # digits: D_j = [poly_j * (q_L/q_j)^-1]_{q_j}  -> [k-L, n]
+    d = mm.mul_mod_shoup(
+        poly, inv_qhat[:, None], inv_qhat_sh[:, None], tb.p[:, None])
+    # broadcast digit j to every prime i (reduce D_j mod q_i), NTT once:
+    # [k_primes, k_digits, n]
+    d_all = mm.barrett_reduce_u32(
+        d[None, :, :], tb.p[:, None, None], tb.mu[:, None, None])
+    return _fwd_q(ctx, d_all, level)  # digits as batch axis
+
+
+def _ks_inner_from_digits(ctx: SchemeContext, d_ntt: jax.Array,
+                          ks_keys: jax.Array, level: int):
+    """Inner product of decomposed digits with key material.
+
+    One batched pointwise multiply over the digit axis, then a balanced
+    mod-add tree: [k, kd, 1, n] x [k, kd, 2, n] -> [k, 2, n] (round-1
+    review item 6: the serial per-digit loop was O(k) adds on the critical
+    path — at the reference's k = 8 throughput config this fuses the 2k^2
+    products into one op and log2(k) add sweeps)."""
+    tb = _tb(ctx, level)
+    kt = jnp.transpose(ks_keys, (1, 0, 2, 3))  # [k_primes, k_digits, 2, n]
+    p4 = tb.p[:, None, None, None]
+    prod = mm.mul_mod_barrett(
+        d_ntt[:, :, None, :], kt, p4, tb.mu[:, None, None, None])
+    acc = mm.add_mod_tree(prod, p4, axis=1)[:, 0]  # [k-L, 2, n]
+    return acc[:, 0:1], acc[:, 1:2]
+
+
 def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
                      level: int = 0):
     """Key-switch inner product: sum_j NTT(D_j) * key_j over RNS digits.
@@ -507,29 +542,8 @@ def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
 
     The psum over digits is the collective the multi-chip path distributes
     (SURVEY.md §2 parallelism table, key-switch inner products)."""
-    tb = _tb(ctx, level)
-    k = ctx.k - level
-    p = _p3(tb)
-    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
-    # digits: D_j = [poly_j * (q_L/q_j)^-1]_{q_j}  -> [k-L, n]
-    d = mm.mul_mod_shoup(
-        poly, inv_qhat[:, None], inv_qhat_sh[:, None], tb.p[:, None])
-    # broadcast digit j to every prime i (reduce D_j mod q_i), NTT once:
-    # [k_primes, k_digits, n]
-    d_all = mm.barrett_reduce_u32(
-        d[None, :, :], tb.p[:, None, None], tb.mu[:, None, None])
-    d_ntt = _fwd_q(ctx, d_all, level)  # digits as batch axis
-    # one batched pointwise multiply over the digit axis, then a balanced
-    # mod-add tree: [k, kd, 1, n] x [k, kd, 2, n] -> [k, kd, 2, n] -> [k, 2, n]
-    # (round-1 review item 6: the serial per-digit loop was O(k) adds on the
-    # critical path — at the reference's k = 8 throughput config this fuses
-    # the 2k^2 products into one op and log2(k) add sweeps)
-    kt = jnp.transpose(ks_keys, (1, 0, 2, 3))  # [k_primes, k_digits, 2, n]
-    p4 = tb.p[:, None, None, None]
-    prod = mm.mul_mod_barrett(
-        d_ntt[:, :, None, :], kt, p4, tb.mu[:, None, None, None])
-    acc = mm.add_mod_tree(prod, p4, axis=1)[:, 0]  # [k-L, 2, n]
-    return acc[:, 0:1], acc[:, 1:2]
+    return _ks_inner_from_digits(
+        ctx, _digits_ntt(ctx, poly, level), ks_keys, level)
 
 
 def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
@@ -626,6 +640,65 @@ def rotate_columns(ctx: SchemeContext, ct: Ciphertext,
                    keys_at_level: bool = False) -> Ciphertext:
     """Swap the two slot rows: g = 2n - 1 (reference decl include/fhe.cuh:115-116)."""
     return apply_galois(ctx, ct, 2 * ctx.n - 1, gal_keys, bgv, keys_at_level)
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_perm_host(n: int, g: int):
+    """NTT-domain form of the automorphism a(x) -> a(x^g): a pure gather.
+
+    The merged-psi CT transform stores position j = evaluation at
+    psi^(2*brv(j)+1); phi_g evaluates at the g-th powers, so
+    out[j] = in[src[j]] with 2*brv(src[j])+1 = g*(2*brv(j)+1) mod 2n.
+    No sign flips — the negacyclic wrap bookkeeping only exists in the
+    coefficient representation."""
+    from .. import primes as _primes_mod
+    bits = n.bit_length() - 1
+    idx = np.empty(n, dtype=np.int32)
+    for j in range(n):
+        e = (g * (2 * _primes_mod.bit_reverse(j, bits) + 1)) % (2 * n)
+        idx[j] = _primes_mod.bit_reverse((e - 1) // 2, bits)
+    return idx
+
+
+def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
+                         gal_keys: GaloisKeys, bgv: bool = False,
+                         keys_at_level: bool = False) -> list[Ciphertext]:
+    """Many automorphisms of ONE ciphertext sharing a single gadget
+    decomposition ("hoisting", SEAL/HElib-style) — the digit decomposition
+    + its k NTTs are computed once; each element then costs only an
+    NTT-domain gather, the key inner product, and one inverse transform.
+
+    Equivalent to apply_galois per element: the rotated digit vector
+    phi_g(D_j(c1)) is a valid gadget decomposition of phi_g(c1) (phi_g is a
+    ring automorphism, so sum_j phi_g(D_j) W_j = phi_g(c1) mod q) with the
+    same digit magnitudes — outputs decrypt identically with identical
+    noise scale, though not bit-identically (sign-flipped coefficients
+    carry the -d rather than q_j - d representative).
+
+    Returns one rotated ciphertext per Galois element, in order."""
+    assert ct.num_components == 2
+    level = ct.level
+    ct = to_coeff(ctx, ct)
+    tb = _tb(ctx, level)
+    p = _p3(tb)
+    d_ntt = _digits_ntt(ctx, ct.data[:, 1], level)     # hoisted: ONCE
+    nb = _b_of(ctx, level,
+               _noise.add(_noise.galois(_v_of(ctx, ct)),
+                          _noise.keyswitch_add(ctx.params, level)))
+    outs = []
+    for g in elements:
+        keys = (gal_keys.data[g] if keys_at_level
+                else _switch_keys_down(ctx, gal_keys.data[g], level, bgv))
+        perm = jnp.asarray(_eval_perm_host(ctx.n, int(g)))
+        dg = jnp.take(d_ntt, perm, axis=-1)            # NTT-domain phi_g
+        acc0, acc1 = _ks_inner_from_digits(ctx, dg, keys, level)
+        delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
+        c0 = mm.add_mod(
+            _apply_galois_coeff(ctx, ct.data[:, :1], g), delta[:, :1], p)
+        outs.append(ct.replace(
+            data=jnp.concatenate([c0, delta[:, 1:]], axis=1),
+            noise_budget=nb))
+    return outs
 
 
 # ---------------------------------------------------------------------------

@@ -201,3 +201,31 @@ def test_encode_negative_values(fhe, keys):
         ct = fhe.encrypt(fhe.encode(vals), pk)
         got = fhe.decode(fhe.decrypt(ct, sk))
         assert list(got[:3]) == [t - 1, t - 2, 5]
+
+
+def test_hoisted_rotations_match_sequential(fhe, keys):
+    """apply_galois_hoisted shares one gadget decomposition across many
+    automorphisms; its outputs decrypt identically to per-rotation
+    apply_galois.  (Not bit-identical: on sign-flipped coefficients the
+    hoisted digits are the -d representatives rather than q_j - d — both
+    valid gadget decompositions of the same automorphism.)"""
+    from fhe_tpu.scheme import bfv as _bfv
+
+    pk, sk, rlk = keys
+    m = 2 * fhe.params.n
+    elements = [pow(3, 1, m), pow(3, 2, m), m - 1]
+    gk = fhe.galoiskey_gen(sk, elements=elements)
+    ct = fhe.encrypt(fhe.encode([5, 10, 15, 20]), pk)
+    hoisted = _bfv.apply_galois_hoisted(fhe.ctx, ct, elements, gk)
+    for g, got in zip(elements, hoisted):
+        want = _bfv.apply_galois(fhe.ctx, ct, g, gk)
+        np.testing.assert_array_equal(
+            np.asarray(fhe.decrypt(got, sk).data),
+            np.asarray(fhe.decrypt(want, sk).data))
+        assert fhe.estimate_noise_budget(got, sk) > 10.0
+    # API surface: rotations by steps with direct keys
+    outs = fhe.rotate_rows_hoisted(ct, [1, 2], gk)
+    r1 = fhe.decode(fhe.decrypt(outs[0], sk))
+    r2 = fhe.decode(fhe.decrypt(outs[1], sk))
+    assert list(r1[:3]) == [10, 15, 20]
+    assert list(r2[:2]) == [15, 20]
