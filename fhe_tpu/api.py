@@ -220,6 +220,18 @@ class FHE:
                 self.ctx, ct, elements, gal_keys,
                 bgv=self.scheme_name == "bgv", keys_at_level=ct.level > 0)
 
+    def sum_slots(self, ct, gal_keys: GaloisKeys):
+        """Every slot becomes the sum of ALL slots: log2(n/2) rotate-and-add
+        sweeps over the row axis plus one column fold (the classic
+        inner-sum reduction; uses the default power-of-two key set)."""
+        step = 1
+        half = self.params.n // 2
+        with self.monitor.time("sum_slots"):
+            while step < half:
+                ct = self.add(ct, self.rotate_rows(ct, step, gal_keys))
+                step *= 2
+            return self.add(ct, self.rotate_columns(ct, gal_keys))
+
     def rotate_columns(self, ct, gal_keys: GaloisKeys):
         if ct.level:
             gal_keys = self._gal_at(gal_keys, ct.level)

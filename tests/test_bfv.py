@@ -229,3 +229,15 @@ def test_hoisted_rotations_match_sequential(fhe, keys):
     r2 = fhe.decode(fhe.decrypt(outs[1], sk))
     assert list(r1[:3]) == [10, 15, 20]
     assert list(r2[:2]) == [15, 20]
+
+
+def test_sum_slots(fhe, keys):
+    """Inner-sum reduction: every slot ends up holding the total sum."""
+    pk, sk, rlk = keys
+    gk = fhe.galoiskey_gen(sk)
+    n = fhe.params.n
+    vals = np.arange(1, n + 1, dtype=np.int64) % fhe.params.t
+    ct = fhe.encrypt(fhe.encode(vals), pk)
+    total = int(vals.sum() % fhe.params.t)
+    out = fhe.decode(fhe.decrypt(fhe.sum_slots(ct, gk), sk))
+    assert int(out[0]) == total and int(out[n - 1]) == total
