@@ -107,7 +107,12 @@ def run_circuit(seed: int) -> tuple[bool, str]:
                     mults += 0  # plain mul grows noise but no level cost
             elif op == "rot_rows":
                 steps = int(rng.integers(1, half))
-                ct = fhe.rotate_rows(ct, steps, gal)
+                if rng.integers(0, 2) and steps in (1, 2, 4):
+                    # hoisted path (needs a direct key: default keygen
+                    # covers power-of-two steps)
+                    ct = fhe.rotate_rows_hoisted(ct, [steps], gal)[0]
+                else:
+                    ct = fhe.rotate_rows(ct, steps, gal)
                 model = rot_model(model, steps)
             elif op == "rot_cols":
                 ct = fhe.rotate_columns(ct, gal)
