@@ -22,6 +22,9 @@ This replaces the reference's shared-memory single-block CT kernel
 (``ntt_forward_optimized_kernel``, ``kernels/ntt_kernels.cu:7-62``) and its
 __syncthreads() stage barriers: VMEM holds the whole working set (64 KB per
 polynomial at n = 16384), so stages need no synchronization at all.
+(With the in-kernel iota masks the bt=16 tile fits the 16 MB scoped VMEM
+budget at n=8192; a tabled [S, n] mask pushed it to 17.5 MB AND ran ~6x
+slower — do not reintroduce it.)
 
 Bit-exact with ops/ntt.py (tests/test_pallas.py runs interpreter mode on CPU;
 the TPU bench cross-checks compiled kernels against the jnp path).
@@ -50,10 +53,11 @@ class PallasNTTTables(NamedTuple):
 
     fwd tables are indexed by ascending stage (m = 1, 2, ..., n/2); inv
     tables hold the Gentleman-Sande twiddles for the same m values (the
-    inverse sweep iterates them in reverse).  pair_mask is prime-independent
-    ([S, n]): True where position j is the FIRST slot of its stage-s
-    butterfly pair — precomputed so the kernel skips the per-stage
-    iota/div/mod mask arithmetic."""
+    inverse sweep iterates them in reverse).  Pair masks are NOT tabled:
+    an in-kernel broadcasted_iota mask is ~6x faster than loading a
+    precomputed [S, n] mask row from VMEM per stage (measured on v5e —
+    strided table-row access beats a 3-op vector recompute by a wide
+    margin in the other direction)."""
 
     p: jax.Array            # [k, 1] (SMEM)
     mu: jax.Array           # [k, 1] Barrett constants (pointwise products)
@@ -63,7 +67,6 @@ class PallasNTTTables(NamedTuple):
     fwd_w_sh: jax.Array
     inv_w: jax.Array        # [k, S, n]
     inv_w_sh: jax.Array
-    pair_mask: jax.Array    # [S, n] uint32 0/1
 
     @property
     def n(self) -> int:
@@ -99,12 +102,6 @@ def _build_pallas_host(n: int, prime_tuple: tuple[int, ...]):
         return np.stack([stage_tbl(tbl, m) for m in _stage_ms(n)],
                         axis=1).astype(_U)
 
-    # stored as uint32 0/1 (not bool): u32 has the friendliest Mosaic tile
-    # shape for the [S, n] block; the kernel pays one != 0 per stage on the
-    # broadcast [n] row
-    masks = np.stack([
-        ((np.arange(n) // (n // (2 * m))) % 2 == 0).astype(np.uint32)
-        for m in _stage_ms(n)])
     return dict(
         p=np.asarray(base.p)[:, None],
         mu=np.asarray(base.mu)[:, None],
@@ -114,7 +111,6 @@ def _build_pallas_host(n: int, prime_tuple: tuple[int, ...]):
         fwd_w_sh=pack(psi_sh),
         inv_w=pack(ipsi),
         inv_w_sh=pack(ipsi_sh),
-        pair_mask=masks,
     )
 
 
@@ -128,13 +124,9 @@ def from_tables(tb: NTTTables) -> PallasNTTTables:
 
 
 def slice_tables(pt: PallasNTTTables, k: int) -> PallasNTTTables:
-    """First-k-primes view (for modulus-switched levels): per-prime fields
-    are zero-copy row slices; pair_mask is prime-independent."""
-    return pt._replace(
-        p=pt.p[:k], mu=pt.mu[:k],
-        n_inv=pt.n_inv[:k], n_inv_shoup=pt.n_inv_shoup[:k],
-        fwd_w=pt.fwd_w[:k], fwd_w_sh=pt.fwd_w_sh[:k],
-        inv_w=pt.inv_w[:k], inv_w_sh=pt.inv_w_sh[:k])
+    """First-k-primes view (for modulus-switched levels): every field is
+    prime-major, zero-copy row slices."""
+    return PallasNTTTables(*(arr[:k] for arr in pt))
 
 
 # ---------------------------------------------------------------------------
@@ -142,17 +134,25 @@ def slice_tables(pt: PallasNTTTables, k: int) -> PallasNTTTables:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_sweep(x, w_tbl, w_sh_tbl, mask_tbl, p, n):
+def _first_of_pair_mask(t: int, shape):
+    """mask[., j] True where flat position j is the FIRST element of its
+    stage pair: (j // t) % 2 == 0 (3 vector ops; faster than a VMEM mask
+    table row load — see the module docstring)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=len(shape) - 1)
+    return (j // t) % 2 == 0
+
+
+def _fwd_sweep(x, w_tbl, w_sh_tbl, p, n):
     """All CT stages on the flat [Bt, n] block (w_tbl: [S, n]).
 
     ONE Shoup multiply per stage: both slots of a butterfly pair share the
     same twiddle (position j maps to table entry m + j//(2t), identical for
     j and j+t), so w*x computed everywhere gives w*V at the V slots
     directly and — rolled by -t — w*V at the U slots; the roll's wrap only
-    lands on V slots, which the precomputed pair mask discards."""
+    lands on V slots, which the mask discards."""
     for sidx, m in enumerate(_stage_ms(n)):
         t = n // (2 * m)
-        mask = (mask_tbl[sidx] != 0)[None]
+        mask = _first_of_pair_mask(t, x.shape)
         w = w_tbl[sidx][None]
         ws = w_sh_tbl[sidx][None]
         wx = mm.mul_mod_shoup(x, w, ws, p)            # w*V at V slots
@@ -164,12 +164,12 @@ def _fwd_sweep(x, w_tbl, w_sh_tbl, mask_tbl, p, n):
     return x
 
 
-def _inv_sweep(x, w_tbl, w_sh_tbl, mask_tbl, n_inv, n_inv_sh, p, n):
+def _inv_sweep(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
     """All GS stages (m = n/2 .. 1) + n^-1 scale on the flat [Bt, n] block."""
     stages = list(enumerate(_stage_ms(n)))[::-1]
     for sidx, m in stages:
         t = n // (2 * m)
-        mask = (mask_tbl[sidx] != 0)[None]
+        mask = _first_of_pair_mask(t, x.shape)
         w = w_tbl[sidx][None]
         ws = w_sh_tbl[sidx][None]
         v_at_first = jnp.roll(x, -t, axis=1)
@@ -181,22 +181,19 @@ def _inv_sweep(x, w_tbl, w_sh_tbl, mask_tbl, n_inv, n_inv_sh, p, n):
     return mm.mul_mod_shoup(x, n_inv, n_inv_sh, p)
 
 
-def _fwd_kernel(p_ref, w_ref, wsh_ref, m_ref, x_ref, o_ref):
+def _fwd_kernel(p_ref, w_ref, wsh_ref, x_ref, o_ref):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
-    o_ref[...] = _fwd_sweep(x_ref[0], w_ref[0], wsh_ref[0], m_ref[...],
-                            p, n)[None]
+    o_ref[...] = _fwd_sweep(x_ref[0], w_ref[0], wsh_ref[0], p, n)[None]
 
 
-def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, m_ref, x_ref,
-                o_ref):
+def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, x_ref, o_ref):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
     o_ref[...] = _inv_sweep(
-        x_ref[0], w_ref[0], wsh_ref[0], m_ref[...], ninv_ref[i, 0],
-        ninvsh_ref[i, 0], p, n
+        x_ref[0], w_ref[0], wsh_ref[0], ninv_ref[i, 0], ninvsh_ref[i, 0], p, n
     )[None]
 
 
@@ -211,11 +208,9 @@ def _specs(k, batch, bt, n, s):
     # per-prime table block: last two dims equal the array's -> allowed
     table = pl.BlockSpec((1, s, n), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    mask = pl.BlockSpec((s, n), lambda i, b: (0, 0),
-                        memory_space=pltpu.VMEM)
     data = pl.BlockSpec((1, bt, n), lambda i, b: (i, b, 0),
                         memory_space=pltpu.VMEM)
-    return grid, smem, table, mask, data
+    return grid, smem, table, data
 
 
 def _pick_bt(batch: int, block_batch: int) -> int:
@@ -232,15 +227,15 @@ def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.fwd_w.shape[1]
-    grid, smem, table, mask, data = _specs(k, batch, bt, n, s)
+    grid, smem, table, data = _specs(k, batch, bt, n, s)
     return pl.pallas_call(
         _fwd_kernel,
         grid=grid,
-        in_specs=[smem, table, table, mask, data],
+        in_specs=[smem, table, table, data],
         out_specs=data,
         out_shape=jax.ShapeDtypeStruct((k, batch, n), jnp.uint32),
         interpret=interpret,
-    )(pt.p, pt.fwd_w, pt.fwd_w_sh, pt.pair_mask, a)
+    )(pt.p, pt.fwd_w, pt.fwd_w_sh, a)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_batch"))
@@ -250,15 +245,15 @@ def ntt_inverse(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.inv_w.shape[1]
-    grid, smem, table, mask, data = _specs(k, batch, bt, n, s)
+    grid, smem, table, data = _specs(k, batch, bt, n, s)
     return pl.pallas_call(
         _inv_kernel,
         grid=grid,
-        in_specs=[smem, smem, smem, table, table, mask, data],
+        in_specs=[smem, smem, smem, table, table, data],
         out_specs=data,
         out_shape=jax.ShapeDtypeStruct((k, batch, n), jnp.uint32),
         interpret=interpret,
-    )(pt.p, pt.n_inv, pt.n_inv_shoup, pt.inv_w, pt.inv_w_sh, pt.pair_mask, a)
+    )(pt.p, pt.n_inv, pt.n_inv_shoup, pt.inv_w, pt.inv_w_sh, a)
 
 
 def polymul_negacyclic(a: jax.Array, b: jax.Array, tb: NTTTables,
@@ -276,20 +271,20 @@ def polymul_negacyclic(a: jax.Array, b: jax.Array, tb: NTTTables,
 
 
 def _tensor_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
-                   iw_ref, iwsh_ref, m_ref, x_ref, y_ref, o_ref):
+                   iw_ref, iwsh_ref, x_ref, y_ref, o_ref):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
     mu = mu_ref[i, 0]
     xy = jnp.concatenate([x_ref[0], y_ref[0]], axis=0)      # [4, n]
-    f = _fwd_sweep(xy, fw_ref[0], fwsh_ref[0], m_ref[...], p, n)
+    f = _fwd_sweep(xy, fw_ref[0], fwsh_ref[0], p, n)
     a0, a1, b0, b1 = f[0:1], f[1:2], f[2:3], f[3:4]
     c0 = mm.mul_mod_barrett(a0, b0, p, mu)
     c2 = mm.mul_mod_barrett(a1, b1, p, mu)
     c1 = mm.add_mod(mm.mul_mod_barrett(a0, b1, p, mu),
                     mm.mul_mod_barrett(a1, b0, p, mu), p)
     prod = jnp.concatenate([c0, c1, c2], axis=0)            # [3, n]
-    o_ref[...] = _inv_sweep(prod, iw_ref[0], iwsh_ref[0], m_ref[...],
+    o_ref[...] = _inv_sweep(prod, iw_ref[0], iwsh_ref[0],
                             ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
@@ -311,7 +306,6 @@ def tensor_product(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     table = pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    mask = pl.BlockSpec((s, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     din = pl.BlockSpec((1, 2, n), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     dout = pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
@@ -319,10 +313,10 @@ def tensor_product(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
     return pl.pallas_call(
         _tensor_kernel,
         grid=grid,
-        in_specs=[smem, smem, smem, smem, table, table, table, table, mask,
+        in_specs=[smem, smem, smem, smem, table, table, table, table,
                   din, din],
         out_specs=dout,
         out_shape=jax.ShapeDtypeStruct((k, 3, n), jnp.uint32),
         interpret=interpret,
     )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.fwd_w, pt.fwd_w_sh,
-      pt.inv_w, pt.inv_w_sh, pt.pair_mask, x, y)
+      pt.inv_w, pt.inv_w_sh, x, y)

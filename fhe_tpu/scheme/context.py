@@ -150,14 +150,18 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
     use_pallas: route hot NTTs through the fused Pallas kernels.  Default:
     auto (on for TPU backends when n >= 256).
     use_mxu: route the multiply tensor-product transforms through the MXU
-    four-step engine.  Default: auto (on for TPU backends when n >= 4096,
-    where the matmul formulation wins the latency regime — BENCH_r02)."""
+    four-step engine instead of the fused single-kernel Pallas tensor
+    product.  Default: OFF — measured head-to-head on v5e at n=8192/k=3
+    (BENCH_r02: fused Pallas multiply 0.166 ms vs MXU 0.242 ms; batched
+    NTT 1.8 us/poly vs 8.4 us), the VPU path wins every regime the bench
+    covers; the MXU engine remains available for explicit opt-in and
+    research."""
     if params is None:
         params = make_scheme_params(SecurityParams(**security_kw))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and params.n >= 256
     if use_mxu is None:
-        use_mxu = jax.default_backend() == "tpu" and params.n >= 4096
+        use_mxu = False
     n = params.n
     mod_switch = []
     dec_levels = []
