@@ -99,19 +99,20 @@ def fast_base_conv(x: jax.Array, cc: BaseConvConsts) -> jax.Array:
 
 
 def _accumulate(y: jax.Array, cc: BaseConvConsts) -> jax.Array:
-    """sum_i y_i * (P/p_i) mod c_j for every dst prime j (exact mod adds)."""
-    k = y.shape[0]
-    p_dst = cc.p_dst[:, None, None]
-    acc = None
-    for i in range(k):  # static unroll; k <= ~9
-        term = mm.mul_mod_shoup(
-            y[i][None, :, :],
-            cc.phat_mod_dst[:, i][:, None, None],
-            cc.phat_shoup_dst[:, i][:, None, None],
-            p_dst,
-        )
-        acc = term if acc is None else mm.add_mod(acc, term, p_dst)
-    return acc
+    """sum_i y_i * (P/p_i) mod c_j for every dst prime j (exact mod adds).
+
+    One batched Shoup multiply over the source axis + a balanced mod-add
+    tree, instead of a serial k-term fold (same op count, log-depth
+    critical path — the BEHZ conversions are a large share of the multiply
+    after the transforms were fused)."""
+    p4 = cc.p_dst[:, None, None, None]
+    terms = mm.mul_mod_shoup(
+        y[None, :, :, :],                         # [1, k, B, n]
+        cc.phat_mod_dst[:, :, None, None],        # [l, k, 1, 1]
+        cc.phat_shoup_dst[:, :, None, None],
+        p4,
+    )                                             # [l, k, B, n]
+    return mm.add_mod_tree(terms, p4, axis=1)[:, 0]
 
 
 def _accumulate_mod_2e16(y: jax.Array, phat_mod_mt: jax.Array) -> jax.Array:
