@@ -365,30 +365,26 @@ def decrypt_scale(x: jax.Array, dc: DecryptConsts,
     # digits of [gamma*t*x]_q: z_i = [x_i * gamma*t*(q/q_i)^-1]_{q_i}
     z = mm.mul_mod_shoup(x, dc.gt_inv_phat[:, None, None],
                          dc.gt_inv_phat_shoup[:, None, None], p)
-    k = z.shape[0]
-    # accumulate into the t and gamma lanes
+    # accumulate into the t and gamma lanes: one batched multiply over the
+    # prime axis + balanced mod-add trees (no serial fold)
     t = dc.t
     g = dc.gamma
     if fermat:
-        mul_t = lambda a, i: mm.mul_mod_fermat16(
-            mm.reduce_mod_fermat16(a), dc.phat_mod_t[i])
+        terms_t = mm.mul_mod_fermat16(
+            mm.reduce_mod_fermat16(z), dc.phat_mod_t[:, None, None])
         scale_t = lambda a, w, ws: mm.mul_mod_fermat16(a, w)
         red_t = mm.reduce_mod_fermat16
     else:
-        mul_t = lambda a, i: mm.mul_mod_shoup(
-            a, dc.phat_mod_t[i], dc.phat_shoup_t[i], t)
+        terms_t = mm.mul_mod_shoup(
+            z, dc.phat_mod_t[:, None, None], dc.phat_shoup_t[:, None, None],
+            t)
         scale_t = lambda a, w, ws: mm.mul_mod_shoup(a, w, ws, t)
         red_t = lambda a: mm.reduce_mod_shoup(a, t, dc.one_shoup_t)
-    acc_t = jnp.zeros_like(z[0])
-    acc_g = jnp.zeros_like(z[0])
-    for i in range(k):
-        acc_t = mm.add_mod(acc_t, mul_t(z[i], i), t)
-        acc_g = mm.add_mod(
-            acc_g,
-            mm.mul_mod_barrett(mm.barrett_reduce_u32(z[i], g, dc.gamma_mu),
-                               dc.phat_mod_g[i], g, dc.gamma_mu),
-            g,
-        )
+    acc_t = mm.add_mod_tree(terms_t, t, axis=0)[0]
+    terms_g = mm.mul_mod_barrett(
+        mm.barrett_reduce_u32(z, g, dc.gamma_mu),
+        dc.phat_mod_g[:, None, None], g, dc.gamma_mu)
+    acc_g = mm.add_mod_tree(terms_g, g, axis=0)[0]
     s_t = scale_t(acc_t, dc.neg_inv_q_t, dc.neg_inv_q_t_shoup)
     s_g = mm.mul_mod_barrett(acc_g, dc.neg_inv_q_g, g, dc.gamma_mu)
     # center s_g and correct: m = (s_t - e_hat) * gamma^-1 mod t
