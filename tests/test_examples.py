@@ -25,11 +25,13 @@ def test_example_exits_zero(script):
     # share the persistent XLA compile cache with the main suite
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
-    # single-core CI: run the same golden workflow at a smaller degree
-    # (bootstrapping pays 2n external products + a heavy scan compile on a
-    # cold cache — run it at n=128)
-    env.setdefault("FHE_EXAMPLE_POLY_DEGREE",
-                   "128" if script == "bootstrapping.py" else "1024")
+    # single-core CI: run the same golden workflow at a smaller degree.
+    # bootstrapping pays 2n external products + a heavy scan compile on a
+    # cold cache (n=128); the bgv example compiles the most distinct graphs
+    # (depth chains at several levels) and measured 505 s cold at n=1024 —
+    # run it at n=512 so a cold cache stays well inside the timeout
+    small = {"bootstrapping.py": "128", "bgv_operations.py": "512"}
+    env.setdefault("FHE_EXAMPLE_POLY_DEGREE", small.get(script, "1024"))
     proc = subprocess.run(
         [sys.executable, str(_EXAMPLES / script)],
         capture_output=True, text=True, timeout=560, env=env)
