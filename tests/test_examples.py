@@ -32,9 +32,12 @@ def test_example_exits_zero(script):
     # run it at n=512 so a cold cache stays well inside the timeout
     small = {"bootstrapping.py": "128", "bgv_operations.py": "512"}
     env.setdefault("FHE_EXAMPLE_POLY_DEGREE", small.get(script, "1024"))
+    # 900 s: a fully cold XLA cache on this 1-core box compiles the heavier
+    # examples (bgv chains, bootstrapping scan) for 8-10 minutes before any
+    # math runs; warm reruns take well under a minute
     proc = subprocess.run(
         [sys.executable, str(_EXAMPLES / script)],
-        capture_output=True, text=True, timeout=560, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     assert proc.returncode == 0, (
         f"{script} failed\nstdout:\n{proc.stdout[-3000:]}\n"
         f"stderr:\n{proc.stderr[-3000:]}")
