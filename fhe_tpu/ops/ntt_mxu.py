@@ -22,13 +22,17 @@ from the merged-ψ CT engine (bit-reversed); forward/pointwise/inverse here
 are self-consistent, and the polymul result is order-independent
 (tests cross-check against ops/ntt.polymul_negacyclic bit-exactly).
 
-Modular matmul on the int8 MXU: operands < 2^30 are split into five
-unsigned 7-bit limbs (int8-safe), giving 25 limb-pair int8 matmuls
-accumulated in int32 (max dot: 127²·n2 per pair; diagonal sums and the
-uint32 pair-fold in the Horner recombination stay below 2^32 for
-contraction lengths n2 ≤ 512 — enforced in build_mxu_tables), then
-recombined with a Horner sweep mod p on the VPU
-(Q_s = Σ_{a+b=s} C_ab; x = Σ_s 128^s·Q_s mod p).
+Modular matmul on the int8 MXU: operands < 2^30 are split into FOUR
+balanced signed base-256 digits d_i ∈ [-128, 127] (x = Σ d_i·256^i, the
+int8-native radix — the MXU multiplies signed int8 natively), giving 16
+limb-pair int8 matmuls accumulated in int32 instead of the 25 that five
+unsigned 7-bit limbs would need (36% less MXU work).  Per-diagonal dot
+bounds: |pair product| ≤ 128², the worst diagonal (s = 3, four pairs with
+the ≤64 top digit) sums to ≤ 49152·n2, int32-safe through n2 ≤ 4096
+(enforced in build_mxu_tables).  Recombination adds the static offset
+OFF = 49152·n2 to each signed diagonal (making it a reduced residue,
+2·OFF < p), runs a base-256 Horner sweep mod p on the VPU, and subtracts
+the precomputed OFF·Σ_s 256^s mod p correction once at the end.
 
 This realizes the reference's "Tensor Core Acceleration" future-work item
 (docs/NTT_OPTIMIZATION.md:306-314) the TPU way.
@@ -47,10 +51,14 @@ from .. import primes as _primes
 from . import modmath as mm
 
 _U = np.uint32
-_LIMBS = 5
-_BASE_BITS = 7
-_BASE = 1 << _BASE_BITS          # 128
+_LIMBS = 4
+_BASE_BITS = 8
+_BASE = 1 << _BASE_BITS          # 256
 _MASK = _BASE - 1
+_HALF = _BASE // 2               # digits >= 128 borrow: d -> d - 256, carry +1
+# worst |diagonal| per unit of contraction length: s = 3 pairs
+# (0,3)+(1,2)+(2,1)+(3,0) with digit bounds [128,128,128,64] on both sides
+_DIAG_BOUND = 128 * 64 + 128 * 128 + 128 * 128 + 64 * 128  # = 49152
 
 
 @flax.struct.dataclass
@@ -63,6 +71,7 @@ class MXUNTTTables:
 
     p: jax.Array             # [k]
     mu: jax.Array            # [k] Barrett
+    horner_corr: jax.Array   # [k] OFF * sum_s 256^s mod p (signed-digit offset)
     n1: int = flax.struct.field(pytree_node=False)
     n2: int = flax.struct.field(pytree_node=False)
     v_limbs: jax.Array       # [k, L, n2, n2] int8   (fwd row matrix V)
@@ -76,13 +85,17 @@ class MXUNTTTables:
 
 
 def _limbs_host(mat: np.ndarray) -> np.ndarray:
-    """uint32 [.., m, n] -> int8 [L, .., m, n] unsigned 7-bit limbs."""
+    """uint32 [.., m, n] -> int8 [L, .., m, n] balanced signed base-256
+    digits: d_i in [-128, 127] for i < 3, top digit in [0, 64] for
+    values < 2^30 (the borrow carry adds at most 1)."""
     out = []
-    v = mat.astype(np.uint64)
+    v = mat.astype(np.int64)
     for _ in range(_LIMBS):
-        out.append((v & _MASK).astype(np.int8))
-        v >>= _BASE_BITS
-    assert not v.any(), "entry exceeded 35 bits"
+        d = v & _MASK
+        borrow = d >= _HALF
+        out.append((d - (borrow.astype(np.int64) << _BASE_BITS)).astype(np.int8))
+        v = (v >> _BASE_BITS) + borrow
+    assert not v.any(), "entry exceeded 30 bits"
     return np.stack(out)
 
 
@@ -182,21 +195,27 @@ def build_mxu_tables(n: int, primes_list, n1: int | None = None) -> MXUNTTTables
         n1 = 128 if n >= 16384 else max(64, min(128, 1 << ((n.bit_length() - 1) // 2)))
     primes_t = tuple(int(p) for p in primes_list)
     n2 = n // n1
-    # Horner fold bound: the worst folded diagonal is Q_4 + 128*Q_5 =
-    # 517 * 127^2 * n2, which must stay below 2^32 -> n2 <= 512 (at n2 = 512
-    # the value is ~4.269e9, a 0.6% margin under 2^32).
-    if n2 > 512:
+    # Signed-digit bound: the worst diagonal |Q_3| <= 49152*L (L = the
+    # contraction length, n2 for the V matmul / n1 for W) must satisfy
+    # 2*OFF = 2*49152*max(n1,n2) < p (so the offset diagonal is a reduced
+    # residue); p > 2^29 gives max(n1,n2) <= 4096 with margin
+    # (2*49152*4096 = 2^28.6).
+    if 2 * _DIAG_BOUND * max(n1, n2) >= (1 << 29):
         raise ValueError(
-            f"contraction length n2 = {n2} overflows the uint32 diagonal "
-            f"fold (max 512); pick a larger n1 for n = {n}")
+            f"contraction length max(n1,n2) = {max(n1, n2)} overflows the "
+            f"signed-digit diagonal offset (max 4096) for n = {n}")
     for p in primes_t:
         if not (1 << 29) < p < (1 << 30):
             raise ValueError(f"MXU engine needs 30-bit primes, got {p}")
     host = _build_host(n, n1, primes_t)
+    off = _DIAG_BOUND * max(n1, n2)
+    geo = sum(_BASE ** s for s in range(2 * _LIMBS - 1))
     return MXUNTTTables(
         p=jnp.asarray(np.array(primes_t, dtype=_U)),
         mu=jnp.asarray(np.array([mm.barrett_precompute(p) for p in primes_t],
                                 dtype=_U)),
+        horner_corr=jnp.asarray(np.array([off * geo % p for p in primes_t],
+                                         dtype=_U)),
         n1=n1, n2=n2,
         v_limbs=jnp.asarray(host["v"]),
         w_limbs=jnp.asarray(host["w"]),
@@ -212,7 +231,8 @@ def build_mxu_tables(n: int, primes_list, n1: int | None = None) -> MXUNTTTables
 def slice_tables(tb: MXUNTTTables, k: int) -> MXUNTTTables:
     """First-k-primes view (leveled transforms); n1/n2 are static."""
     return MXUNTTTables(
-        p=tb.p[:k], mu=tb.mu[:k], n1=tb.n1, n2=tb.n2,
+        p=tb.p[:k], mu=tb.mu[:k], horner_corr=tb.horner_corr[:k],
+        n1=tb.n1, n2=tb.n2,
         v_limbs=tb.v_limbs[:k], w_limbs=tb.w_limbs[:k],
         t_mid=tb.t_mid[:k], t_mid_shoup=tb.t_mid_shoup[:k],
         vi_limbs=tb.vi_limbs[:k], wi_limbs=tb.wi_limbs[:k],
@@ -226,38 +246,40 @@ def slice_tables(tb: MXUNTTTables, k: int) -> MXUNTTTables:
 
 
 def _data_limbs(x: jax.Array) -> jax.Array:
-    """uint32 [..] -> int8 [L, ..] unsigned 7-bit limbs (values < 2^31)."""
+    """uint32 [..] -> int8 [L, ..] balanced signed base-256 digits
+    (see _limbs_host; values < 2^30, top digit lands in [0, 64])."""
     outs = []
     v = x
     for _ in range(_LIMBS):
-        outs.append((v & jnp.uint32(_MASK)).astype(jnp.int8))
-        v = v >> _BASE_BITS
+        d = v & jnp.uint32(_MASK)
+        borrow = (d >= jnp.uint32(_HALF)).astype(jnp.uint32)
+        outs.append((d.astype(jnp.int32)
+                     - (borrow << _BASE_BITS).astype(jnp.int32)).astype(jnp.int8))
+        v = (v >> _BASE_BITS) + borrow
     return jnp.stack(outs)
 
 
-def _horner_mod(qs, p, mu):
-    """Σ_s 128^s * Q_s mod p; Q_s int32 in [0, 5*2^21).
+def _horner_mod(qs, p, mu, corr, contraction_bound: int):
+    """Σ_s 256^s * Q_s mod p for SIGNED int32 diagonals
+    |Q_s| <= 49152 * contraction_bound.
 
-    Adjacent diagonals fold for free in uint32 (Q_2u + 128*Q_{2u+1} < 2^32),
-    halving the Barrett reductions; the remaining Horner sweep runs in base
-    128^2 = 16384."""
-    folded = []
-    for u in range(0, len(qs), 2):
-        lo = qs[u].astype(jnp.uint32)
-        if u + 1 < len(qs):
-            lo = lo + (qs[u + 1].astype(jnp.uint32) << _BASE_BITS)
-        folded.append(mm.barrett_reduce_u32(lo, p, mu))
-    base2 = jnp.uint32(_BASE * _BASE)
-    r = folded[-1]
-    for u in range(len(folded) - 2, -1, -1):
+    Each diagonal is shifted by the static OFF = 49152*max(n1,n2) (< p/2,
+    enforced in build_mxu_tables), making it a non-negative reduced residue
+    with no Barrett pass, then a base-256 Horner sweep accumulates mod p and
+    the precomputed OFF·Σ_s 256^s mod p correction is subtracted once."""
+    off = jnp.int32(_DIAG_BOUND * contraction_bound)
+    shifted = [(q + off).astype(jnp.uint32) for q in qs]  # < 2*OFF < p
+    base = jnp.uint32(_BASE)
+    r = shifted[-1]
+    for u in range(len(shifted) - 2, -1, -1):
         r = mm.add_mod(
-            mm.mul_mod_barrett(r, jnp.broadcast_to(base2, r.shape), p, mu),
-            folded[u], p)
-    return r
+            mm.mul_mod_barrett(r, jnp.broadcast_to(base, r.shape), p, mu),
+            shifted[u], p)
+    return mm.sub_mod(r, corr, p)
 
 
-def _matmul_mod(x: jax.Array, mat_limbs: jax.Array, p, mu,
-                side: str) -> jax.Array:
+def _matmul_mod(x: jax.Array, mat_limbs: jax.Array, p, mu, corr,
+                contraction_bound: int, side: str) -> jax.Array:
     """Modular matmul on the last-two axes of x [k, B, m, n].
 
     side='right': x @ M  with mat_limbs [k, L, n, n']
@@ -276,7 +298,7 @@ def _matmul_mod(x: jax.Array, mat_limbs: jax.Array, p, mu,
                                preferred_element_type=jnp.int32)
             s = a + b
             qs[s] = c if qs[s] is None else qs[s] + c
-    return _horner_mod(qs, p, mu)
+    return _horner_mod(qs, p, mu, corr, contraction_bound)
 
 
 def ntt_forward(x: jax.Array, tb: MXUNTTTables) -> jax.Array:
@@ -286,12 +308,14 @@ def ntt_forward(x: jax.Array, tb: MXUNTTTables) -> jax.Array:
     n1, n2 = tb.n1, tb.n2
     p = tb.p[:, None, None, None]
     mu = tb.mu[:, None, None, None]
+    corr = tb.horner_corr[:, None, None, None]
+    lmax = max(n1, n2)
     # M[i1, i2]: x index i1 + n1*i2 -> reshape [i2, i1] then transpose
     m = x.reshape(k, bt, n2, n1).transpose(0, 1, 3, 2)      # [k,B,n1,n2]
-    a = _matmul_mod(m, tb.v_limbs, p, mu, side="right")      # rows: n2-NTT
+    a = _matmul_mod(m, tb.v_limbs, p, mu, corr, lmax, side="right")
     a = mm.mul_mod_shoup(a, tb.t_mid[:, None], tb.t_mid_shoup[:, None],
                          tb.p[:, None, None, None])
-    out = _matmul_mod(a, tb.w_limbs, p, mu, side="left")     # cols: n1-NTT
+    out = _matmul_mod(a, tb.w_limbs, p, mu, corr, lmax, side="left")
     # out[j1, j2], flat j = j2 + n2*j1 -> reshape directly
     return out.reshape(k, bt, n)
 
@@ -302,11 +326,13 @@ def ntt_inverse(y: jax.Array, tb: MXUNTTTables) -> jax.Array:
     n1, n2 = tb.n1, tb.n2
     p = tb.p[:, None, None, None]
     mu = tb.mu[:, None, None, None]
+    corr = tb.horner_corr[:, None, None, None]
+    lmax = max(n1, n2)
     x = y.reshape(k, bt, n1, n2)                             # [j1, j2]
-    a = _matmul_mod(x, tb.wi_limbs, p, mu, side="left")      # undo col NTT
+    a = _matmul_mod(x, tb.wi_limbs, p, mu, corr, lmax, side="left")
     a = mm.mul_mod_shoup(a, tb.ti_mid[:, None], tb.ti_mid_shoup[:, None],
                          tb.p[:, None, None, None])
-    m = _matmul_mod(a, tb.vi_limbs, p, mu, side="right")     # undo row NTT
+    m = _matmul_mod(a, tb.vi_limbs, p, mu, corr, lmax, side="right")
     # m[i1, i2] -> flat i = i1 + n1*i2
     return m.transpose(0, 1, 3, 2).reshape(k, bt, n)
 
