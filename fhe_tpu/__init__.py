@@ -9,6 +9,17 @@ Galois rotations, modulus switching, bootstrapping key-switch), sharded over
 TPU meshes with jax collectives.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some TPU platform plugins (e.g. the tunneled "axon" device) register
+    # themselves regardless of JAX_PLATFORMS, silently overriding the
+    # documented env-var semantics — a CPU-pinned CI subprocess then blocks
+    # on TPU initialization.  Restore standard behavior: the env var wins.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from .params import SecurityParams, SchemeParams, make_scheme_params, default_params
 from .api import FHE
 

@@ -181,18 +181,67 @@ def _inv_sweep(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
     return mm.mul_mod_shoup(x, n_inv, n_inv_sh, p)
 
 
-def _fwd_kernel(p_ref, w_ref, wsh_ref, x_ref, o_ref):
+def _fwd_sweep_lazy(x, w_tbl, w_sh_tbl, p, n):
+    """Harvey lazy-reduction CT sweep: stage inputs live in [0, 4p).
+
+    mul_mod_shoup_lazy accepts ANY u32 operand and lands in [0, 2p), so a
+    stage pays ONE conditional correction (folding the U operand back to
+    [0, 2p)) instead of the eager path's three selects (Shoup + add_mod +
+    sub_mod).  4p < 2^32 holds for the 30-bit prime layer; two final
+    corrections restore [0, p) — bit-exact with _fwd_sweep."""
+    two_p = p + p
+    for sidx, m in enumerate(_stage_ms(n)):
+        t = n // (2 * m)
+        mask = _first_of_pair_mask(t, x.shape)
+        w = w_tbl[sidx][None]
+        ws = w_sh_tbl[sidx][None]
+        wx = mm.mul_mod_shoup_lazy(x, w, ws, p)       # [0, 2p) for any u32 x
+        xu = jnp.where(x >= two_p, x - two_p, x)      # U operand -> [0, 2p)
+        wv_at_first = jnp.roll(wx, -t, axis=1)
+        u_at_second = jnp.roll(xu, t, axis=1)
+        x = jnp.where(mask,
+                      xu + wv_at_first,               # U + w*V      in [0, 4p)
+                      u_at_second + two_p - wx)       # U - w*V + 2p in (0, 4p)
+    x = jnp.where(x >= two_p, x - two_p, x)
+    return jnp.where(x >= p, x - p, x)
+
+
+def _inv_sweep_lazy(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
+    """Lazy GS sweep: stage values in [0, 2p); sums fold once, differences
+    are renormalized by the Shoup multiply itself.  The exact final n^-1
+    Shoup multiply restores [0, p) — bit-exact with _inv_sweep."""
+    two_p = p + p
+    stages = list(enumerate(_stage_ms(n)))[::-1]
+    for sidx, m in stages:
+        t = n // (2 * m)
+        mask = _first_of_pair_mask(t, x.shape)
+        w = w_tbl[sidx][None]
+        ws = w_sh_tbl[sidx][None]
+        v_at_first = jnp.roll(x, -t, axis=1)
+        u_at_second = jnp.roll(x, t, axis=1)
+        s = x + v_at_first                            # [0, 4p)
+        summed = jnp.where(s >= two_p, s - two_p, s)  # [0, 2p)
+        diffed = mm.mul_mod_shoup_lazy(
+            u_at_second + two_p - x, w, ws, p)        # any u32 -> [0, 2p)
+        x = jnp.where(mask, summed, diffed)
+    return mm.mul_mod_shoup(x, n_inv, n_inv_sh, p)    # exact -> [0, p)
+
+
+def _fwd_kernel(p_ref, w_ref, wsh_ref, x_ref, o_ref, *, lazy=False):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
-    o_ref[...] = _fwd_sweep(x_ref[0], w_ref[0], wsh_ref[0], p, n)[None]
+    sweep = _fwd_sweep_lazy if lazy else _fwd_sweep
+    o_ref[...] = sweep(x_ref[0], w_ref[0], wsh_ref[0], p, n)[None]
 
 
-def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, x_ref, o_ref):
+def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, x_ref, o_ref,
+                *, lazy=False):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
-    o_ref[...] = _inv_sweep(
+    sweep = _inv_sweep_lazy if lazy else _inv_sweep
+    o_ref[...] = sweep(
         x_ref[0], w_ref[0], wsh_ref[0], ninv_ref[i, 0], ninvsh_ref[i, 0], p, n
     )[None]
 
@@ -220,16 +269,20 @@ def _pick_bt(batch: int, block_batch: int) -> int:
     return bt
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_batch"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_batch", "lazy"))
 def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
-                block_batch: int = 16) -> jax.Array:
-    """[k, batch, n] fused forward NTT; bit-exact with ops/ntt.ntt_forward."""
+                block_batch: int = 16, lazy: bool = False) -> jax.Array:
+    """[k, batch, n] fused forward NTT; bit-exact with ops/ntt.ntt_forward.
+
+    lazy=True uses the Harvey [0, 4p) butterfly chain (one select per stage
+    instead of three) — bit-identical output, perf-gated default."""
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.fwd_w.shape[1]
     grid, smem, table, data = _specs(k, batch, bt, n, s)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, lazy=lazy),
         grid=grid,
         in_specs=[smem, table, table, data],
         out_specs=data,
@@ -238,16 +291,17 @@ def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
     )(pt.p, pt.fwd_w, pt.fwd_w_sh, a)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_batch"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_batch", "lazy"))
 def ntt_inverse(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
-                block_batch: int = 16) -> jax.Array:
+                block_batch: int = 16, lazy: bool = False) -> jax.Array:
     """[k, batch, n] fused inverse NTT; bit-exact with ops/ntt.ntt_inverse."""
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.inv_w.shape[1]
     grid, smem, table, data = _specs(k, batch, bt, n, s)
     return pl.pallas_call(
-        _inv_kernel,
+        functools.partial(_inv_kernel, lazy=lazy),
         grid=grid,
         in_specs=[smem, smem, smem, table, table, data],
         out_specs=data,
@@ -271,26 +325,28 @@ def polymul_negacyclic(a: jax.Array, b: jax.Array, tb: NTTTables,
 
 
 def _tensor_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
-                   iw_ref, iwsh_ref, x_ref, y_ref, o_ref):
+                   iw_ref, iwsh_ref, x_ref, y_ref, o_ref, *, lazy=False):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
     mu = mu_ref[i, 0]
+    fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
+    inv = _inv_sweep_lazy if lazy else _inv_sweep
     xy = jnp.concatenate([x_ref[0], y_ref[0]], axis=0)      # [4, n]
-    f = _fwd_sweep(xy, fw_ref[0], fwsh_ref[0], p, n)
+    f = fwd(xy, fw_ref[0], fwsh_ref[0], p, n)
     a0, a1, b0, b1 = f[0:1], f[1:2], f[2:3], f[3:4]
     c0 = mm.mul_mod_barrett(a0, b0, p, mu)
     c2 = mm.mul_mod_barrett(a1, b1, p, mu)
     c1 = mm.add_mod(mm.mul_mod_barrett(a0, b1, p, mu),
                     mm.mul_mod_barrett(a1, b0, p, mu), p)
     prod = jnp.concatenate([c0, c1, c2], axis=0)            # [3, n]
-    o_ref[...] = _inv_sweep(prod, iw_ref[0], iwsh_ref[0],
-                            ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
+    o_ref[...] = inv(prod, iw_ref[0], iwsh_ref[0],
+                     ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "lazy"))
 def tensor_product(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False, lazy: bool = False) -> jax.Array:
     """(c0, c1, c2) = x (x) y for 2-component [k, 2, n] ciphertext halves,
     entirely inside ONE kernel per prime: both forward transforms, the three
     pointwise products, and the inverse transform never leave VMEM — the
@@ -311,7 +367,7 @@ def tensor_product(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
     dout = pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _tensor_kernel,
+        functools.partial(_tensor_kernel, lazy=lazy),
         grid=grid,
         in_specs=[smem, smem, smem, smem, table, table, table, table,
                   din, din],

@@ -78,6 +78,23 @@ def test_leveled_slice_matches_jnp():
         np.testing.assert_array_equal(back, np.asarray(a_l))
 
 
+def test_lazy_sweeps_bit_exact():
+    """The Harvey lazy-reduction sweeps ([0, 4p) chains, one select per
+    stage) must be bit-identical to the eager path for every transform."""
+    ps, tb, pt, a = make(512, 3, 2)
+    for fn in (npal.ntt_forward, npal.ntt_inverse):
+        eager = np.asarray(fn(a, pt, interpret=True))
+        lz = np.asarray(fn(a, pt, interpret=True, lazy=True))
+        np.testing.assert_array_equal(lz, eager)
+    x = jnp.asarray(np.stack([
+        RNG.integers(0, p, (2, 512), dtype=np.uint32) for p in ps]))
+    y = jnp.asarray(np.stack([
+        RNG.integers(0, p, (2, 512), dtype=np.uint32) for p in ps]))
+    np.testing.assert_array_equal(
+        np.asarray(npal.tensor_product(x, y, pt, interpret=True, lazy=True)),
+        np.asarray(npal.tensor_product(x, y, pt, interpret=True)))
+
+
 def test_fused_tensor_product_matches_composed():
     """The one-kernel ciphertext tensor product == fwd/pointwise/inv chain."""
     ps, tb, pt, _ = make(512, 3, 1)
