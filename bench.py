@@ -124,6 +124,19 @@ def main():
     big = jnp.tile(ct1.data[:, :1, :], (1, 64, 1))
     ntt64_s = bench_chain(fwd, big, iters=105) / 64.0
 
+    # Harvey lazy-reduction sweep A/B (bit-exact; one select per stage
+    # instead of three).  Whichever wins here should be the ntt_pallas
+    # default; the current default is recorded in forward_ntt_ms above.
+    ntt_lazy_s = ntt64_lazy_s = None
+    if fhe.ctx.use_pallas:
+        from fhe_tpu.ops import ntt_pallas as _npal_lz
+        lz = lambda x: _npal_lz.ntt_forward(x, fhe.ctx.ntt_q_pl, lazy=True)
+        lz_got = lz(ct1.data[:, :1, :])
+        assert (jnp.asarray(lz_got) == jnp.asarray(
+            fwd(ct1.data[:, :1, :]))).all(), "lazy NTT mismatch on device"
+        ntt_lazy_s = bench_chain(lz, ct1.data[:, :1, :], iters=405)
+        ntt64_lazy_s = bench_chain(lz, big, iters=105) / 64.0
+
     # per-engine evidence for the multiply dispatch (round-1 review item 4):
     # the MXU four-step engine measured against the default fused-Pallas
     # path (context docstring records the verdict; the default follows
@@ -317,6 +330,10 @@ def main():
             "forward_ntt_ms_batched": round(ntt64_s * 1e3, 4),
             "forward_ntt_vs_baseline": round(BASELINE_NTT_MS / ntt_ms, 3),
             "forward_ntt_vs_baseline_batched": round(BASELINE_NTT_MS / (ntt64_s * 1e3), 3),
+            "forward_ntt_lazy_ms": (round(ntt_lazy_s * 1e3, 4)
+                                    if ntt_lazy_s else None),
+            "forward_ntt_lazy_ms_batched": (round(ntt64_lazy_s * 1e3, 4)
+                                            if ntt64_lazy_s else None),
             "forward_ntt_mxu_ms": (round(ntt_mxu_s * 1e3, 4)
                                    if ntt_mxu_s else None),
             "forward_ntt_mxu_ms_batched": (round(ntt_mxu64_s * 1e3, 4)
