@@ -793,7 +793,14 @@ def exact_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey,
     an already-corrupted ciphertext — the round-1 fuzzer blind spot), this
     residual is taken against the caller's model plaintext and goes
     NEGATIVE once the true noise crosses the decryption bound.  Host-side
-    CRT diagnostic; pt is the encoded polynomial (mod t coefficients)."""
+    CRT diagnostic; pt is the encoded polynomial (mod t coefficients).
+
+    Aliasing caveat: residues mod q cannot distinguish noise v from v - q,
+    so once the TRUE noise grows past q/2 the measurement wraps and may
+    read as a small POSITIVE budget again (fuzz seed 4004).  A reading
+    under ~1 bit is therefore "at or past exhaustion", not a guarantee of
+    correct decryption; the tracked ct.noise_budget (which decays
+    monotonically and pins at 0) disambiguates."""
     p = ctx.params
     level = ct.level
     primes_l = p.q_primes[: ctx.k - level]

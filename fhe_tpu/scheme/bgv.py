@@ -432,7 +432,11 @@ def exact_noise_budget(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey,
     """Noise budget measured against a KNOWN expected plaintext (see
     bfv.exact_noise_budget: goes negative past exhaustion instead of
     re-centering on a wrong decryption).  pt holds the expected decode-side
-    plaintext mod t; the phase holds m * scale_t^-1."""
+    plaintext mod t; the phase holds m * scale_t^-1.
+
+    Same aliasing caveat as bfv.exact_noise_budget: readings under ~1 bit
+    may be a wrapped (> q/2) noise masquerading as small-positive — treat
+    them as exhaustion, cross-checked against the tracked budget."""
     p = ctx.params
     primes_l = p.q_primes[: ctx.k - ct.level]
     q = math.prod(primes_l)

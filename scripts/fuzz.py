@@ -132,9 +132,13 @@ def run_circuit(seed: int) -> tuple[bool, str]:
     tracked = float(ct.noise_budget)
     desc = (f"seed={seed} {scheme} n={n} logq={log_q} t={t} ops={ops_trace} "
             f"budget={budget:.2f} tracked={tracked:.2f}")
-    if budget <= 0.0:
+    if budget <= 0.0 or (budget < 1.0 and tracked <= 0.0):
         # genuinely exhausted; correctness is undefined, but the tracked
-        # budget must have warned (pinned at its 0 floor)
+        # budget must have warned (pinned at its 0 floor).  The second
+        # clause is the measurement-aliasing window (exact_noise_budget
+        # docstring, surfaced by seed 4004): a true noise past q/2 wraps
+        # mod q and can read back as a small positive budget — trust the
+        # sub-1-bit reading only when the tracked budget is still positive.
         if tracked > 4.0:
             return False, desc + " EXHAUSTED but tracked budget still high"
         return True, desc + " [noise exhausted — flagged by library]"

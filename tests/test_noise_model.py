@@ -104,6 +104,36 @@ def test_exact_budget_goes_negative_on_exhaustion():
     assert ct.noise_budget == 0.0  # tracked budget pinned at the floor
 
 
+def test_exact_budget_aliasing_window_bgv():
+    """Measurement aliasing (fuzz seed 4004): noise past q/2 wraps mod q and
+    the exact budget reads back small-POSITIVE while decryption is already
+    corrupted.  Inject E = 0.6*q (a multiple of t, so the phase stays
+    m + t*e-shaped) into c0: the true noise is 0.6q > q/2, the measured
+    residual |0.6q - q| = 0.4q, and the budget reads log2(1.25) = 0.32 bits.
+    The library documents readings under ~1 bit as 'at or past exhaustion'."""
+    import math
+    import jax.numpy as jnp
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=60, lambda_=0, hamming_weight=16))
+    fhe = FHE(params, seed=6, scheme="bgv")
+    pk, sk = fhe.keygen()
+    v = np.arange(params.n) % params.t
+    ct = fhe.encrypt(fhe.encode(v), pk)
+    q = math.prod(params.q_primes)
+    E = params.t * int(0.6 * q / params.t)
+    res = np.asarray(ct.data).copy()
+    for i, p in enumerate(params.q_primes):
+        # adding E mod p to every entry of c0 is E*x^0 in NTT form and
+        # E*(sum_j x^j) in coefficient form — both wrap the centered lift
+        res[i, 0, :] = (res[i, 0, :].astype(np.uint64) + E % p) % p
+    ct2 = ct.replace(data=jnp.asarray(res.astype(np.uint32)))
+    got = fhe.decode(fhe.decrypt(ct2, sk)).astype(np.int64)
+    assert not np.array_equal(got, v), "0.6q noise must corrupt decryption"
+    exact = fhe.exact_noise_budget(ct2, sk, fhe.encode(v))
+    assert 0.0 < exact < 1.0, (
+        f"expected the aliased small-positive reading, got {exact:.2f}")
+
+
 @pytest.fixture(scope="module")
 def bgv_setup():
     params = make_scheme_params(SecurityParams(
