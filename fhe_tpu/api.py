@@ -278,6 +278,49 @@ class FHE:
             return _bs.bootstrap_binary(self.ctx, self._next_key(), ct, sk,
                                         bsk, ks_keys=ks)
 
+    def key_switch(self, ct, ks_keys, keys_at_level: bool = False):
+        """Switch a 2-component ct under s' to one under s (reference decl
+        ``include/fhe.cuh:134-135``); ks_keys from scheme-layer
+        ``bootstrap.keyswitch_keygen`` or ``bfv._keyswitch_keygen``."""
+        with self.monitor.time("key_switch"):
+            return self._scheme.key_switch(
+                self.ctx, ct, ks_keys, bgv=self.scheme_name == "bgv",
+                keys_at_level=keys_at_level)
+
+    def modulus_raise(self, ct):
+        """Base-extend a leveled ct back to the full q basis (reference decl
+        ``include/fhe.cuh:140``).  BFV pipeline helper; follow with the
+        q_drop scalar multiply as in bootstrap_binary (scheme/bootstrap.py)
+        when used mid-bootstrap."""
+        if self.scheme_name != "bfv":
+            raise NotImplementedError("modulus_raise is BFV-only")
+        with self.monitor.time("modulus_raise"):
+            return bfv.modulus_raise(self.ctx, ct)
+
+    def extract_lsb(self, ct, index: int = 0):
+        """RLWE -> LWE-over-Z_2n LSB extraction (reference decl
+        ``include/fhe.cuh:138``); BFV-only, binary payload in coeff
+        ``index``."""
+        from .scheme import bootstrap as _bs
+        if self.scheme_name != "bfv":
+            raise NotImplementedError("bootstrap pipeline is BFV-only")
+        with self.monitor.time("extract_lsb"):
+            return _bs.extract_lsb(self.ctx, ct, index)
+
+    def blind_rotate(self, lwe, bsk=None, sk: SecretKey | None = None,
+                     test_poly=None, level: int = 0):
+        """CGGI accumulator blind rotation (reference decl
+        ``include/fhe.cuh:139``): pass a precomputed ``bsk``
+        (make_bootstrap_key) or ``sk`` to derive one on the fly."""
+        from .scheme import bootstrap as _bs
+        if self.scheme_name != "bfv":
+            raise NotImplementedError("bootstrap pipeline is BFV-only")
+        with self.monitor.time("blind_rotate"):
+            return _bs.blind_rotate(
+                self.ctx, lwe, bsk, sk=sk,
+                key=None if sk is None else self._next_key(),
+                test_poly=test_poly, level=level)
+
     def estimate_noise_budget(self, ct, sk: SecretKey) -> float:
         return self._scheme.estimate_noise_budget(self.ctx, ct, sk)
 

@@ -96,6 +96,34 @@ def test_bootstrap_refreshes_leveled_ct(setup):
     assert got == 1
 
 
+def test_api_wrapper_exposes_declared_helpers():
+    """The FHE wrapper mirrors FHEContext method-for-method: key_switch,
+    extract_lsb, blind_rotate, modulus_raise (include/fhe.cuh:134-140) must
+    be callable from the high-level object, not just the scheme layer."""
+    from fhe_tpu import FHE
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=120, lambda_=0, hamming_weight=16))
+    fhe = FHE(params, seed=7)
+    pk, sk = fhe.keygen()
+    v = np.zeros(params.n, dtype=np.int64)
+    v[0] = 1
+    ct = fhe.encrypt(fhe.encode_coeff(v), pk)
+
+    lwe = fhe.extract_lsb(ct)
+    acc = fhe.blind_rotate(lwe, sk=sk)
+    assert acc.level == 0 and acc.num_components == 2
+
+    ct1 = fhe.mod_switch_to_next(ct)
+    raised = fhe.modulus_raise(ct1)
+    assert raised.level == 0
+
+    from fhe_tpu.scheme import bootstrap as _bs
+    ks = _bs.keyswitch_keygen(fhe.ctx, jrandom.PRNGKey(99), sk, sk)
+    sw = fhe.key_switch(ct, ks)
+    got = fhe.decode_coeff(fhe.decrypt(sw, sk)).astype(np.int64)
+    assert got[0] == 1 and not got[1:].any()
+
+
 def test_blind_rotate_lookup(setup):
     """Programmable bootstrap: a custom test polynomial evaluates a lookup
     at the LWE phase (coefficient 0 of X^{n/2-u} * testv)."""
