@@ -320,6 +320,62 @@ def polymul_negacyclic(a: jax.Array, b: jax.Array, tb: NTTTables,
 
 
 # ---------------------------------------------------------------------------
+# fused NTT-domain product with a coeff-domain operand: INTT(NTT(u) ⊙ w)
+# ---------------------------------------------------------------------------
+
+
+def _ntt_mul_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
+                    iw_ref, iwsh_ref, u_ref, w_ref, o_ref, *, lazy=False):
+    n = u_ref.shape[-1]
+    c = w_ref.shape[1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
+    inv = _inv_sweep_lazy if lazy else _inv_sweep
+    un = fwd(u_ref[0], fw_ref[0], fwsh_ref[0], p, n)        # [1, n]
+    prod = mm.mul_mod_barrett(jnp.broadcast_to(un, (c, n)), w_ref[0], p, mu)
+    o_ref[...] = inv(prod, iw_ref[0], iwsh_ref[0],
+                     ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "lazy"))
+def mul_by_ntt_operand(u: jax.Array, w_ntt: jax.Array, pt: PallasNTTTables,
+                       interpret: bool = False, lazy: bool = False
+                       ) -> jax.Array:
+    """INTT(NTT(u) ⊙ w) in ONE kernel per prime: u is a [k, 1, n]
+    coefficient-domain polynomial, w_ntt a [k, c, n] NTT-form operand
+    (public key halves, the secret key, ...).  Covers the encrypt hot path
+    pk·u (SURVEY.md §3.3, reference src/fhe.cu:159-166) and the decrypt
+    phase product c1·s without inter-kernel HBM round trips.
+
+    Bit-exact with the composed ntt_forward/pointwise/ntt_inverse chain
+    (tests/test_pallas.py)."""
+    k, one, n = u.shape
+    assert one == 1 and w_ntt.shape[0] == k and w_ntt.shape[2] == n
+    c = w_ntt.shape[1]
+    s = pt.fwd_w.shape[1]
+    grid = (k,)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table = pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    d_u = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    d_w = pl.BlockSpec((1, c, n), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ntt_mul_kernel, lazy=lazy),
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, table, table, table, table,
+                  d_u, d_w],
+        out_specs=d_w,
+        out_shape=jax.ShapeDtypeStruct((k, c, n), jnp.uint32),
+        interpret=interpret,
+    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.fwd_w, pt.fwd_w_sh,
+      pt.inv_w, pt.inv_w_sh, u, w_ntt)
+
+
+# ---------------------------------------------------------------------------
 # fused ciphertext tensor product: fwd(x), fwd(y), pointwise, inv — ONE kernel
 # ---------------------------------------------------------------------------
 

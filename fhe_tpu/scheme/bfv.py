@@ -239,9 +239,13 @@ def encrypt(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
     u = sampling.ternary_rns(k_u, tb.p, 1, p.n, p.security.hamming_weight)
     e1 = sampling.gaussian_rns(k_e1, tb.p, p.security.sigma, 1, p.n)
     e2 = sampling.gaussian_rns(k_e2, tb.p, p.security.sigma, 1, p.n)
-    u_ntt = _fwd_q(ctx, u)
-    pk_u = _inv_q(ctx, _ntt.pointwise_mul(
-        jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb))
+    if ctx.use_pallas:
+        # one fused kernel per prime: fwd(u), ⊙pk, both inverse transforms
+        pk_u = _ntt_pl.mul_by_ntt_operand(u, pk.data, ctx.ntt_q_pl)
+    else:
+        u_ntt = _fwd_q(ctx, u)
+        pk_u = _inv_q(ctx, _ntt.pointwise_mul(
+            jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb))
     # [k, 2, n] coeff domain: (pk0*u, pk1*u)
     c0 = mm.add_mod(
         mm.add_mod(pk_u[:, :1], e1, _p3(tb)), _scale_by_delta(ctx, pt), _p3(tb))
@@ -274,9 +278,14 @@ def _phase(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> jax.Array:
     acc = comps[:, 0]
     s_pow = sk_l  # s^1 in NTT form
     for idx in range(1, c):
-        term = _inv_q(ctx, _ntt.pointwise_mul(
-            _fwd_q(ctx, comps[:, idx:idx + 1], ct.level), s_pow, tb),
-            ct.level)[:, 0]
+        if ctx.use_pallas:
+            term = _ntt_pl.mul_by_ntt_operand(
+                comps[:, idx:idx + 1], s_pow,
+                _ntt_pl.slice_tables(ctx.ntt_q_pl, k))[:, 0]
+        else:
+            term = _inv_q(ctx, _ntt.pointwise_mul(
+                _fwd_q(ctx, comps[:, idx:idx + 1], ct.level), s_pow, tb),
+                ct.level)[:, 0]
         acc = mm.add_mod(acc, term, tb.p[:, None])
         if idx + 1 < c:
             s_pow = _ntt.pointwise_mul(s_pow, sk_l, tb)

@@ -163,9 +163,13 @@ def encrypt(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
     u = sampling.ternary_rns(k_u, tb.p, 1, p.n, p.security.hamming_weight)
     e1 = sampling.gaussian_rns(k_e1, tb.p, p.security.sigma, 1, p.n)
     e2 = sampling.gaussian_rns(k_e2, tb.p, p.security.sigma, 1, p.n)
-    u_ntt = _fwd_q(ctx, u)
-    pk_u = _inv_q(ctx, _ntt.pointwise_mul(
-        jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb))
+    if ctx.use_pallas:
+        from ..ops import ntt_pallas as _ntt_pl
+        pk_u = _ntt_pl.mul_by_ntt_operand(u, pk.data, ctx.ntt_q_pl)
+    else:
+        u_ntt = _fwd_q(ctx, u)
+        pk_u = _inv_q(ctx, _ntt.pointwise_mul(
+            jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb))
     c0 = mm.add_mod(
         mm.add_mod(pk_u[:, :1], _t_scale(ctx, e1), _p3(tb)),
         _lift_plain(ctx, pt), _p3(tb))

@@ -78,6 +78,75 @@ def test_leveled_slice_matches_jnp():
         np.testing.assert_array_equal(back, np.asarray(a_l))
 
 
+def test_scheme_pallas_dispatch_interpreted(monkeypatch):
+    """The scheme layer's use_pallas=True wiring (encrypt pk·u kernel,
+    decrypt phase product, fused multiply tensor product) must be
+    bit-identical to the jnp engine — run on CPU by forcing interpreter
+    mode on every pallas entry point."""
+    import functools as ft
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    for name in ("ntt_forward", "ntt_inverse", "tensor_product",
+                 "mul_by_ntt_operand"):
+        monkeypatch.setattr(npal, name,
+                            ft.partial(getattr(npal, name), interpret=True))
+
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
+    ctx_pl = make_context(params, use_pallas=True, use_mxu=False)
+    ctx_ref = make_context(params, use_pallas=False, use_mxu=False)
+    key = jrandom.PRNGKey(17)
+    k1, k2, k3 = jrandom.split(key, 3)
+    pk, sk = bfv.keygen(ctx_ref, k1)
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    pt1, pt2 = enc.encode([5, 10, 15, 20]), enc.encode([3, 6, 9, 12])
+    ct_pl = bfv.encrypt(ctx_pl, k2, pk, pt1)
+    ct_ref = bfv.encrypt(ctx_ref, k2, pk, pt1)
+    np.testing.assert_array_equal(np.asarray(ct_pl.data),
+                                  np.asarray(ct_ref.data))
+    ct2 = bfv.encrypt(ctx_ref, k3, pk, pt2)
+    prod_pl = bfv.multiply_no_relin(ctx_pl, ct_pl, ct2)
+    prod_ref = bfv.multiply_no_relin(ctx_ref, ct_ref, ct2)
+    np.testing.assert_array_equal(np.asarray(prod_pl.data),
+                                  np.asarray(prod_ref.data))
+    dec_pl = bfv.decrypt(ctx_pl, prod_pl, sk)
+    dec_ref = bfv.decrypt(ctx_ref, prod_ref, sk)
+    np.testing.assert_array_equal(np.asarray(dec_pl.data),
+                                  np.asarray(dec_ref.data))
+    assert list(enc.decode(dec_pl)[:4]) == [15, 60, 135, 240]
+
+    # BGV encrypt routes through the same fused pk·u kernel
+    from fhe_tpu.scheme import bgv
+    bpk, bsk = bgv.keygen(ctx_ref, k1)
+    bct_pl = bgv.encrypt(ctx_pl, k2, bpk, pt1)
+    bct_ref = bgv.encrypt(ctx_ref, k2, bpk, pt1)
+    np.testing.assert_array_equal(np.asarray(bct_pl.data),
+                                  np.asarray(bct_ref.data))
+
+
+def test_mul_by_ntt_operand_matches_composed():
+    """The fused encrypt-product kernel (INTT(NTT(u) ⊙ w), one kernel per
+    prime) == the composed fwd/pointwise/inv chain, for both 2-row (pk)
+    and 1-row (secret key) NTT operands, eager and lazy."""
+    ps, tb, pt, _ = make(512, 3, 1)
+    u = jnp.asarray(np.stack([
+        RNG.integers(0, p, (1, 512), dtype=np.uint32) for p in ps]))
+    for c in (1, 2):
+        w = jnp.asarray(np.stack([
+            RNG.integers(0, p, (c, 512), dtype=np.uint32) for p in ps]))
+        fu = jax.jit(_ntt.ntt_forward)(u, tb)
+        want = np.asarray(jax.jit(_ntt.ntt_inverse)(
+            _ntt.pointwise_mul(jnp.broadcast_to(fu, w.shape), w, tb), tb))
+        for lazy in (False, True):
+            got = np.asarray(npal.mul_by_ntt_operand(
+                u, w, pt, interpret=True, lazy=lazy))
+            np.testing.assert_array_equal(got, want)
+
+
 def test_lazy_sweeps_bit_exact():
     """The Harvey lazy-reduction sweeps ([0, 4p) chains, one select per
     stage) must be bit-identical to the eager path for every transform."""
