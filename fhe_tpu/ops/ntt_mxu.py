@@ -87,7 +87,15 @@ class MXUNTTTables:
 def _limbs_host(mat: np.ndarray) -> np.ndarray:
     """uint32 [.., m, n] -> int8 [L, .., m, n] balanced signed base-256
     digits: d_i in [-128, 127] for i < 3, top digit in [0, 64] for
-    values < 2^30 (the borrow carry adds at most 1)."""
+    values < 2^30 (the borrow carry adds at most 1).
+
+    The < 2^30 precondition is NOT just about limb count: _DIAG_BOUND bakes
+    in the top-digit <= 64 bound, so a value in [2^30, 2^32) would decompose
+    without a leftover carry yet silently break the Horner offset
+    (|Q_3| could reach 65536*L > OFF).  Enforce the real bound here."""
+    assert (mat < (1 << 30)).all(), \
+        "entry >= 2^30: top signed digit would exceed the 64 bound baked " \
+        "into _DIAG_BOUND (silent Horner-offset wraparound)"
     out = []
     v = mat.astype(np.int64)
     for _ in range(_LIMBS):
@@ -95,7 +103,7 @@ def _limbs_host(mat: np.ndarray) -> np.ndarray:
         borrow = d >= _HALF
         out.append((d - (borrow.astype(np.int64) << _BASE_BITS)).astype(np.int8))
         v = (v >> _BASE_BITS) + borrow
-    assert not v.any(), "entry exceeded 30 bits"
+    assert not v.any(), "leftover carry after all limbs"
     return np.stack(out)
 
 
@@ -247,7 +255,13 @@ def slice_tables(tb: MXUNTTTables, k: int) -> MXUNTTTables:
 
 def _data_limbs(x: jax.Array) -> jax.Array:
     """uint32 [..] -> int8 [L, ..] balanced signed base-256 digits
-    (see _limbs_host; values < 2^30, top digit lands in [0, 64])."""
+    (see _limbs_host; values < 2^30, top digit lands in [0, 64]).
+
+    PRECONDITION (unchecked — traced): every entry must be a fully reduced
+    residue < p < 2^30.  Values in [2^30, 2^32) decompose into a top digit
+    up to 128, exceeding the <= 64 bound in _DIAG_BOUND, and the Horner
+    offset uint32 cast wraps — silent corruption, no error.  Do NOT feed
+    lazy-reduction ([0, 2p)) values without a reduce first."""
     outs = []
     v = x
     for _ in range(_LIMBS):

@@ -44,6 +44,7 @@ from ..ops import ntt_pallas as _ntt_pl
 from ..ops import poly as _poly
 from ..ops import rns as _rns
 from ..ops import sampling
+from . import context as _context
 from .context import SchemeContext
 from . import noise as _noise
 from .types import Ciphertext, GaloisKeys, Plaintext, PublicKey, RelinKeys, SecretKey
@@ -239,14 +240,7 @@ def encrypt(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
     u = sampling.ternary_rns(k_u, tb.p, 1, p.n, p.security.hamming_weight)
     e1 = sampling.gaussian_rns(k_e1, tb.p, p.security.sigma, 1, p.n)
     e2 = sampling.gaussian_rns(k_e2, tb.p, p.security.sigma, 1, p.n)
-    if ctx.use_pallas:
-        # one fused kernel per prime: fwd(u), ⊙pk, both inverse transforms
-        pk_u = _ntt_pl.mul_by_ntt_operand(u, pk.data, ctx.ntt_q_pl)
-    else:
-        u_ntt = _fwd_q(ctx, u)
-        pk_u = _inv_q(ctx, _ntt.pointwise_mul(
-            jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb))
-    # [k, 2, n] coeff domain: (pk0*u, pk1*u)
+    pk_u = _pk_u_product(ctx, u, pk)  # [k, 2, n] coeff (pk0*u, pk1*u)
     c0 = mm.add_mod(
         mm.add_mod(pk_u[:, :1], e1, _p3(tb)), _scale_by_delta(ctx, pt), _p3(tb))
     c1 = mm.add_mod(pk_u[:, 1:], e2, _p3(tb))
@@ -377,6 +371,51 @@ def _tensor_product(ctx: SchemeContext, x: jax.Array, y: jax.Array, tb,
     return inv(ctx, jnp.concatenate([c0, c1, c2], axis=1))
 
 
+def _pk_u_product(ctx: SchemeContext, u: jax.Array, pk: PublicKey) -> jax.Array:
+    """[k, 2, n] coeff-domain (pk0*u, pk1*u), engine-dispatched.  The single
+    encrypt hot product, shared by BFV and BGV (one copy of the dispatch)."""
+    if ctx.use_pallas:
+        # one fused kernel per prime: fwd(u), ⊙pk, both inverse transforms
+        return _ntt_pl.mul_by_ntt_operand(u, pk.data, ctx.ntt_q_pl)
+    u_ntt = _fwd_q(ctx, u)
+    return _inv_q(ctx, _ntt.pointwise_mul(
+        jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, ctx.ntt_q))
+
+
+def _dispatch_tensor_product(ctx: SchemeContext, a_data: jax.Array,
+                             b_data: jax.Array, level: int,
+                             base: str = "q") -> jax.Array:
+    """3-component coeff-domain ciphertext tensor product over the level-L
+    `q` base or the BEHZ `bsk` base, routed to whichever engine the context
+    enables (MXU four-step / fused single-kernel Pallas / jnp stage sweeps).
+
+    The ONE copy of the engine triad — BFV (both bases) and BGV (q base)
+    multiply through here, so engine changes apply everywhere at once.
+    These are closed fwd -> pointwise -> inv loops (no stored NTT-form data
+    enters), so the MXU engine — whose evaluation ORDER differs from the CT
+    engine — is a drop-in (docs/NTT_OPTIMIZATION.md)."""
+    assert base in ("q", "bsk")
+    if ctx.use_mxu:
+        from ..ops import ntt_mxu as _ntt_mxu
+        tbm = (_ntt_mxu.slice_tables(ctx.ntt_q_mxu, ctx.k - level)
+               if base == "q" else ctx.ntt_bsk_mxu)
+        fwd = lambda c, x: _ntt_mxu.ntt_forward(x, tbm)
+        inv = lambda c, x: _ntt_mxu.ntt_inverse(x, tbm)
+    elif ctx.use_pallas:
+        # fully-fused single-kernel tensor product: both transforms, the
+        # pointwise products, and the inverse never leave VMEM
+        tbp = (_ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level)
+               if base == "q" else ctx.ntt_bsk_pl)
+        return _ntt_pl.tensor_product(a_data, b_data, tbp)
+    elif base == "q":
+        fwd = lambda c, x: _fwd_q(c, x, level)
+        inv = lambda c, x: _inv_q(c, x, level)
+    else:
+        fwd, inv = _fwd_bsk, _inv_bsk
+    tb = _tb(ctx, level) if base == "q" else ctx.ntt_bsk
+    return _tensor_product(ctx, a_data, b_data, tb, fwd, inv)
+
+
 def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     """BEHZ RNS tensor product + t/q_L scaling -> 3-component ciphertext,
     at any level (per-level BEHZ constants from the context).
@@ -399,34 +438,10 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     lift_a = _rns.sm_mrq(a.data, smq)   # [l+1, 2, n]
     lift_b = _rns.sm_mrq(b.data, smq)
 
-    # Step 2: tensor products in both bases via NTT.  These are closed
-    # fwd -> pointwise -> inv loops (no stored NTT-form data enters), so the
-    # MXU four-step engine — whose evaluation ORDER differs from the CT
-    # engine — is a drop-in here when enabled (docs/NTT_OPTIMIZATION.md).
-    if ctx.use_mxu:
-        from ..ops import ntt_mxu as _ntt_mxu
-        tbm_q = _ntt_mxu.slice_tables(ctx.ntt_q_mxu, ctx.k - level)
-        fwd_q_fn = lambda c, x: _ntt_mxu.ntt_forward(x, tbm_q)
-        inv_q_fn = lambda c, x: _ntt_mxu.ntt_inverse(x, tbm_q)
-        fwd_b_fn = lambda c, x: _ntt_mxu.ntt_forward(x, c.ntt_bsk_mxu)
-        inv_b_fn = lambda c, x: _ntt_mxu.ntt_inverse(x, c.ntt_bsk_mxu)
-        tens_q = _tensor_product(ctx, a.data, b.data, _tb(ctx, level),
-                                 fwd_q_fn, inv_q_fn)               # [k-L, 3, n]
-        tens_bsk = _tensor_product(ctx, lift_a, lift_b, tb_bsk,
-                                   fwd_b_fn, inv_b_fn)             # [l+1, 3, n]
-    elif ctx.use_pallas:
-        # fully-fused single-kernel tensor product: both transforms, the
-        # pointwise products, and the inverse never leave VMEM
-        tens_q = _ntt_pl.tensor_product(
-            a.data, b.data, _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
-        tens_bsk = _ntt_pl.tensor_product(lift_a, lift_b, ctx.ntt_bsk_pl)
-    else:
-        fwd_q_fn = lambda c, x: _fwd_q(c, x, level)
-        inv_q_fn = lambda c, x: _inv_q(c, x, level)
-        tens_q = _tensor_product(ctx, a.data, b.data, _tb(ctx, level),
-                                 fwd_q_fn, inv_q_fn)               # [k-L, 3, n]
-        tens_bsk = _tensor_product(ctx, lift_a, lift_b, tb_bsk,
-                                   _fwd_bsk, _inv_bsk)             # [l+1, 3, n]
+    # Step 2: tensor products in both bases via NTT (engine-dispatched).
+    tens_q = _dispatch_tensor_product(ctx, a.data, b.data, level)  # [k-L, 3, n]
+    tens_bsk = _dispatch_tensor_product(ctx, lift_a, lift_b, level,
+                                        base="bsk")                # [l+1, 3, n]
 
     # Step 3: scale by t and FastFloor into Bsk.
     t_mod_q = ctx.dec_c.t  # t < every prime: same residue everywhere
@@ -588,9 +603,16 @@ def key_switch(ctx: SchemeContext, ct: Ciphertext, ks_keys: jax.Array,
 
 
 def _apply_galois_coeff(ctx: SchemeContext, data: jax.Array, g: int) -> jax.Array:
-    """a(x) -> a(x^g) on [k, B, n] coefficient-domain residues."""
-    src = ctx.galois_src[g]
-    neg = ctx.galois_neg[g]
+    """a(x) -> a(x^g) on [k, B, n] coefficient-domain residues.
+
+    Elements outside the precomputed default power-of-two set fall back to a
+    cached on-the-fly permutation, so custom galoiskey_gen elements and
+    non-power-of-two hoisted rotations work (any odd g)."""
+    g = int(g)
+    if g in ctx.galois_src:
+        src, neg = ctx.galois_src[g], ctx.galois_neg[g]
+    else:
+        src, neg = _context.galois_perm_tables(ctx.n, g)
     gathered = jnp.take(data, src, axis=-1)
     p = ctx.ntt_q.p[: data.shape[0], None, None]
     return jnp.where(neg[None, None, :], mm.neg_mod(gathered, p), gathered)

@@ -163,13 +163,7 @@ def encrypt(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
     u = sampling.ternary_rns(k_u, tb.p, 1, p.n, p.security.hamming_weight)
     e1 = sampling.gaussian_rns(k_e1, tb.p, p.security.sigma, 1, p.n)
     e2 = sampling.gaussian_rns(k_e2, tb.p, p.security.sigma, 1, p.n)
-    if ctx.use_pallas:
-        from ..ops import ntt_pallas as _ntt_pl
-        pk_u = _ntt_pl.mul_by_ntt_operand(u, pk.data, ctx.ntt_q_pl)
-    else:
-        u_ntt = _fwd_q(ctx, u)
-        pk_u = _inv_q(ctx, _ntt.pointwise_mul(
-            jnp.broadcast_to(u_ntt, pk.data.shape), pk.data, tb))
+    pk_u = _bfv._pk_u_product(ctx, u, pk)
     c0 = mm.add_mod(
         mm.add_mod(pk_u[:, :1], _t_scale(ctx, e1), _p3(tb)),
         _lift_plain(ctx, pt), _p3(tb))
@@ -307,21 +301,7 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     else:
         a = to_coeff(ctx, a)
         b = to_coeff(ctx, b)
-        if ctx.use_mxu:
-            from ..ops import ntt_mxu as _ntt_mxu
-            tbm = _ntt_mxu.slice_tables(ctx.ntt_q_mxu, ctx.k - level)
-            fwd = lambda c, x: _ntt_mxu.ntt_forward(x, tbm)
-            inv = lambda c, x: _ntt_mxu.ntt_inverse(x, tbm)
-            data = _bfv._tensor_product(ctx, a.data, b.data, tb, fwd, inv)
-        elif ctx.use_pallas:
-            from ..ops import ntt_pallas as _ntt_pl
-            data = _ntt_pl.tensor_product(
-                a.data, b.data,
-                _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
-        else:
-            fwd = lambda c, x: _fwd_q(c, x, level)
-            inv = lambda c, x: _inv_q(c, x, level)
-            data = _bfv._tensor_product(ctx, a.data, b.data, tb, fwd, inv)
+        data = _bfv._dispatch_tensor_product(ctx, a.data, b.data, level)
     v = _noise.bgv_multiply(
         ctx.params,
         _noise.bgv_variance(ctx.params, level, a.noise_budget),

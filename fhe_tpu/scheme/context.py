@@ -114,6 +114,15 @@ def galois_permutation(n: int, g: int) -> tuple[np.ndarray, np.ndarray]:
     return src, neg
 
 
+@functools.lru_cache(maxsize=None)
+def galois_perm_tables(n: int, g: int) -> tuple[jax.Array, jax.Array]:
+    """Device (src, neg) gather tables for ANY odd Galois element — the
+    cached fallback for elements outside the precomputed default set (e.g.
+    non-power-of-two hoisted rotations, custom galoiskey_gen elements)."""
+    src, neg = galois_permutation(n, g)
+    return jnp.asarray(src), jnp.asarray(neg)
+
+
 def default_galois_elements(n: int) -> tuple[int, ...]:
     """Galois elements for power-of-two row rotations (both directions) plus
     the column swap g = 2n-1, mirroring SEAL-style key generation."""

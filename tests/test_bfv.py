@@ -231,6 +231,29 @@ def test_hoisted_rotations_match_sequential(fhe, keys):
     assert list(r2[:2]) == [15, 20]
 
 
+def test_hoisted_rotation_arbitrary_steps(fhe, keys):
+    """Non-power-of-two hoisted rotations (the whole point of hoisting —
+    e.g. matrix-vector diagonals): galoiskey_gen for g outside the default
+    power-of-two set and the rotation itself must work, not KeyError
+    (review finding: ctx.galois_src only held the default set; any other
+    element crashed keygen, apply_galois_hoisted's c0 path, and therefore
+    rotate_rows_hoisted)."""
+    pk, sk, _ = keys
+    n = fhe.params.n
+    m = 2 * n
+    half = n // 2
+    steps = [1, 3, 5]  # 3 and 5 need g = 3^3, 3^5 mod 2n: not default keys
+    elements = [pow(3, s, m) for s in steps]
+    gk = fhe.galoiskey_gen(sk, elements=elements)
+    vals = list(range(1, half + 1))
+    ct = fhe.encrypt(fhe.encode(vals), pk)
+    outs = fhe.rotate_rows_hoisted(ct, steps, gk)
+    for s, out in zip(steps, outs):
+        got = fhe.decode(fhe.decrypt(out, sk))
+        want = vals[s:] + vals[:s]
+        assert list(got[:half]) == want, f"step {s}"
+
+
 def test_sum_slots(fhe, keys):
     """Inner-sum reduction: every slot ends up holding the total sum."""
     pk, sk, rlk = keys
