@@ -125,17 +125,18 @@ def main():
     ntt64_s = bench_chain(fwd, big, iters=105) / 64.0
 
     # Harvey lazy-reduction sweep A/B (bit-exact; one select per stage
-    # instead of three).  Whichever wins here should be the ntt_pallas
-    # default; the current default is recorded in forward_ntt_ms above.
-    ntt_lazy_s = ntt64_lazy_s = None
+    # instead of three).  Lazy WON the r2 device A/B (1.0 vs 1.8 µs batched)
+    # and is now the ntt_pallas default, so forward_ntt_ms above records the
+    # lazy path; the eager alternate is kept here as the regression guard.
+    ntt_eager_s = ntt64_eager_s = None
     if fhe.ctx.use_pallas:
-        from fhe_tpu.ops import ntt_pallas as _npal_lz
-        lz = lambda x: _npal_lz.ntt_forward(x, fhe.ctx.ntt_q_pl, lazy=True)
-        lz_got = lz(ct1.data[:, :1, :])
-        assert (jnp.asarray(lz_got) == jnp.asarray(
-            fwd(ct1.data[:, :1, :]))).all(), "lazy NTT mismatch on device"
-        ntt_lazy_s = bench_chain(lz, ct1.data[:, :1, :], iters=405)
-        ntt64_lazy_s = bench_chain(lz, big, iters=105) / 64.0
+        from fhe_tpu.ops import ntt_pallas as _npal_eg
+        eg = lambda x: _npal_eg.ntt_forward(x, fhe.ctx.ntt_q_pl, lazy=False)
+        eg_got = eg(ct1.data[:, :1, :])
+        assert (jnp.asarray(eg_got) == jnp.asarray(
+            fwd(ct1.data[:, :1, :]))).all(), "eager NTT mismatch on device"
+        ntt_eager_s = bench_chain(eg, ct1.data[:, :1, :], iters=405)
+        ntt64_eager_s = bench_chain(eg, big, iters=105) / 64.0
 
     # per-engine evidence for the multiply dispatch (round-1 review item 4):
     # the MXU four-step engine measured against the default fused-Pallas
@@ -330,10 +331,10 @@ def main():
             "forward_ntt_ms_batched": round(ntt64_s * 1e3, 4),
             "forward_ntt_vs_baseline": round(BASELINE_NTT_MS / ntt_ms, 3),
             "forward_ntt_vs_baseline_batched": round(BASELINE_NTT_MS / (ntt64_s * 1e3), 3),
-            "forward_ntt_lazy_ms": (round(ntt_lazy_s * 1e3, 4)
-                                    if ntt_lazy_s else None),
-            "forward_ntt_lazy_ms_batched": (round(ntt64_lazy_s * 1e3, 4)
-                                            if ntt64_lazy_s else None),
+            "forward_ntt_eager_ms": (round(ntt_eager_s * 1e3, 4)
+                                     if ntt_eager_s else None),
+            "forward_ntt_eager_ms_batched": (round(ntt64_eager_s * 1e3, 4)
+                                             if ntt64_eager_s else None),
             "forward_ntt_mxu_ms": (round(ntt_mxu_s * 1e3, 4)
                                    if ntt_mxu_s else None),
             "forward_ntt_mxu_ms_batched": (round(ntt_mxu64_s * 1e3, 4)
