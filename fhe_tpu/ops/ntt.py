@@ -153,6 +153,14 @@ def slice_tables(tb: NTTTables, k: int) -> NTTTables:
     return NTTTables(*(arr[:k] for arr in tb))
 
 
+def slice_tables_last(tb: NTTTables, k: int) -> NTTTables:
+    """Last-k-primes view.  The leveled BEHZ auxiliary base shrinks from the
+    FRONT so that m_sk (always the last Bsk prime, the Shenoy-Kumaresan
+    anchor) stays in every level's base — a suffix is still a zero-copy row
+    slice."""
+    return NTTTables(*(arr[-k:] for arr in tb))
+
+
 def _bcast(tb_slice, k):
     """[k, m] twiddle slice -> [k, 1, m, 1] for [k, B, m, 2, t] data."""
     return tb_slice[:, None, :, None]

@@ -248,6 +248,18 @@ def slice_tables(tb: MXUNTTTables, k: int) -> MXUNTTTables:
     )
 
 
+def slice_tables_last(tb: MXUNTTTables, k: int) -> MXUNTTTables:
+    """Last-k-primes view (leveled BEHZ Bsk base — see ntt.slice_tables_last)."""
+    return MXUNTTTables(
+        p=tb.p[-k:], mu=tb.mu[-k:], horner_corr=tb.horner_corr[-k:],
+        n1=tb.n1, n2=tb.n2,
+        v_limbs=tb.v_limbs[-k:], w_limbs=tb.w_limbs[-k:],
+        t_mid=tb.t_mid[-k:], t_mid_shoup=tb.t_mid_shoup[-k:],
+        vi_limbs=tb.vi_limbs[-k:], wi_limbs=tb.wi_limbs[-k:],
+        ti_mid=tb.ti_mid[-k:], ti_mid_shoup=tb.ti_mid_shoup[-k:],
+    )
+
+
 # ---------------------------------------------------------------------------
 # modular matmul via int8 limb decomposition
 # ---------------------------------------------------------------------------

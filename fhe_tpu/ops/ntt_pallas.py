@@ -129,6 +129,11 @@ def slice_tables(pt: PallasNTTTables, k: int) -> PallasNTTTables:
     return PallasNTTTables(*(arr[:k] for arr in pt))
 
 
+def slice_tables_last(pt: PallasNTTTables, k: int) -> PallasNTTTables:
+    """Last-k-primes view (leveled BEHZ Bsk base — see ntt.slice_tables_last)."""
+    return PallasNTTTables(*(arr[-k:] for arr in pt))
+
+
 # ---------------------------------------------------------------------------
 # kernel bodies (pure jnp on values; also used by tests in interpreter mode)
 # ---------------------------------------------------------------------------

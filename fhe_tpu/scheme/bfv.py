@@ -76,16 +76,25 @@ def _inv_q(ctx: SchemeContext, x, level: int = 0):
     return _ntt.ntt_inverse(x, _tb(ctx, level))
 
 
-def _fwd_bsk(ctx: SchemeContext, x):
-    if ctx.use_pallas:
-        return _ntt_pl.ntt_forward(x, ctx.ntt_bsk_pl)
-    return _ntt.ntt_forward(x, ctx.ntt_bsk)
+def _tb_bsk(ctx: SchemeContext, level: int = 0) -> _ntt.NTTTables:
+    """Level's Bsk-base tables: the BEHZ aux base shrinks with q (suffix
+    slice so m_sk, the Shenoy-Kumaresan anchor, stays last — bsk_counts in
+    scheme/context.py)."""
+    return _ntt.slice_tables_last(ctx.ntt_bsk, ctx.bsk_counts[level])
 
 
-def _inv_bsk(ctx: SchemeContext, x):
+def _fwd_bsk(ctx: SchemeContext, x, level: int = 0):
     if ctx.use_pallas:
-        return _ntt_pl.ntt_inverse(x, ctx.ntt_bsk_pl)
-    return _ntt.ntt_inverse(x, ctx.ntt_bsk)
+        return _ntt_pl.ntt_forward(x, _ntt_pl.slice_tables_last(
+            ctx.ntt_bsk_pl, ctx.bsk_counts[level]))
+    return _ntt.ntt_forward(x, _tb_bsk(ctx, level))
+
+
+def _inv_bsk(ctx: SchemeContext, x, level: int = 0):
+    if ctx.use_pallas:
+        return _ntt_pl.ntt_inverse(x, _ntt_pl.slice_tables_last(
+            ctx.ntt_bsk_pl, ctx.bsk_counts[level]))
+    return _ntt.ntt_inverse(x, _tb_bsk(ctx, level))
 
 
 def _p3(tb):  # [k,1,1] prime broadcast for [k,B,n] tensors
@@ -398,21 +407,24 @@ def _dispatch_tensor_product(ctx: SchemeContext, a_data: jax.Array,
     if ctx.use_mxu:
         from ..ops import ntt_mxu as _ntt_mxu
         tbm = (_ntt_mxu.slice_tables(ctx.ntt_q_mxu, ctx.k - level)
-               if base == "q" else ctx.ntt_bsk_mxu)
+               if base == "q" else _ntt_mxu.slice_tables_last(
+                   ctx.ntt_bsk_mxu, ctx.bsk_counts[level]))
         fwd = lambda c, x: _ntt_mxu.ntt_forward(x, tbm)
         inv = lambda c, x: _ntt_mxu.ntt_inverse(x, tbm)
     elif ctx.use_pallas:
         # fully-fused single-kernel tensor product: both transforms, the
         # pointwise products, and the inverse never leave VMEM
         tbp = (_ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level)
-               if base == "q" else ctx.ntt_bsk_pl)
+               if base == "q" else _ntt_pl.slice_tables_last(
+                   ctx.ntt_bsk_pl, ctx.bsk_counts[level]))
         return _ntt_pl.tensor_product(a_data, b_data, tbp)
     elif base == "q":
         fwd = lambda c, x: _fwd_q(c, x, level)
         inv = lambda c, x: _inv_q(c, x, level)
     else:
-        fwd, inv = _fwd_bsk, _inv_bsk
-    tb = _tb(ctx, level) if base == "q" else ctx.ntt_bsk
+        fwd = lambda c, x: _fwd_bsk(c, x, level)
+        inv = lambda c, x: _inv_bsk(c, x, level)
+    tb = _tb(ctx, level) if base == "q" else _tb_bsk(ctx, level)
     return _tensor_product(ctx, a_data, b_data, tb, fwd, inv)
 
 
@@ -431,7 +443,7 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     level = a.level
     a = to_coeff(ctx, a)
     b = to_coeff(ctx, b)
-    tb_q, tb_bsk = _tb(ctx, level), ctx.ntt_bsk
+    tb_q, tb_bsk = _tb(ctx, level), _tb_bsk(ctx, level)
 
     # Step 1: centered lift of all 4 components into Bsk.
     smq = ctx.smq_levels[level]

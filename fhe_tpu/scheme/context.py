@@ -70,6 +70,12 @@ class SchemeContext:
     smq_levels: tuple[_rns.SmMRqConsts, ...]
     floor_levels: tuple[_rns.FastFloorConsts, ...]
     sk_levels: tuple[_rns.SKConsts, ...]
+    # Bsk prime count per level.  The BEHZ exactness bound only needs
+    # prod(B_L)*m_sk > 4*t*n*q_L, so as q shrinks the auxiliary base does
+    # too (suffix of bsk_primes — m_sk, the SK anchor, is always last).
+    # The bsk NTT tables above are sized for level 0; leveled transforms
+    # take slice_tables_last(ntt_bsk*, bsk_counts[level]) zero-copy views.
+    bsk_counts: tuple[int, ...] = flax.struct.field(pytree_node=False)
     delta_levels: tuple[tuple[jax.Array, jax.Array], ...]     # (delta, shoup)
     inv_qhat_levels: tuple[tuple[jax.Array, jax.Array], ...]  # (inv, shoup)
 
@@ -179,6 +185,7 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
     smq_levels = []
     floor_levels = []
     sk_levels = []
+    bsk_counts = []
     delta_levels = []
     inv_qhat_levels = []
     chain = params.q_primes
@@ -186,11 +193,28 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
         dec_levels.append(_rns.make_decrypt(chain, params.t, params.gamma))
         bgv_dec_levels.append(
             _rns.make_sm_mrq(chain, (params.t,), params.m_tilde))
-        smq_levels.append(
-            _rns.make_sm_mrq(chain, params.bsk_primes, params.m_tilde))
-        floor_levels.append(_rns.make_fast_floor(chain, params.bsk_primes))
-        sk_levels.append(
-            _rns.make_sk(params.aux_primes, params.m_sk, chain))
+        # BEHZ aux base for this level: smallest SUFFIX of aux_primes with
+        # prod(B_L) * m_sk > 4*t*n*q_L (the exactness bound params.py sizes
+        # the level-0 base by).  Suffix so m_sk stays the last Bsk prime.
+        if len(chain) == len(params.q_primes):
+            # level 0 always uses the FULL base: bit-exactness with the
+            # oracle's behz_multiply_no_relin is part of the test contract.
+            aux_l = params.aux_primes
+        else:
+            q_l = 1
+            for p_i in chain:
+                q_l *= int(p_i)
+            need = 4 * params.t * n * q_l
+            l_lvl, prod_b = 0, params.m_sk
+            while prod_b <= need:
+                l_lvl += 1
+                prod_b *= int(params.aux_primes[-l_lvl])
+            aux_l = params.aux_primes[-l_lvl:] if l_lvl else ()
+        bsk_l = aux_l + (params.m_sk,)
+        bsk_counts.append(len(bsk_l))
+        smq_levels.append(_rns.make_sm_mrq(chain, bsk_l, params.m_tilde))
+        floor_levels.append(_rns.make_fast_floor(chain, bsk_l))
+        sk_levels.append(_rns.make_sk(aux_l, params.m_sk, chain))
         d, ds, iq, iqs = _level_host(chain, params.t)
         delta_levels.append((jnp.asarray(d), jnp.asarray(ds)))
         inv_qhat_levels.append((jnp.asarray(iq), jnp.asarray(iqs)))
@@ -229,6 +253,7 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
         smq_levels=tuple(smq_levels),
         floor_levels=tuple(floor_levels),
         sk_levels=tuple(sk_levels),
+        bsk_counts=tuple(bsk_counts),
         delta_levels=tuple(delta_levels),
         inv_qhat_levels=tuple(inv_qhat_levels),
         galois_src=galois_src,
