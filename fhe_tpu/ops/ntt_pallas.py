@@ -382,6 +382,71 @@ def mul_by_ntt_operand(u: jax.Array, w_ntt: jax.Array, pt: PallasNTTTables,
 
 
 # ---------------------------------------------------------------------------
+# fused key switch: digit reduce + fwd NTT + inner product + inv NTT — ONE kernel
+# ---------------------------------------------------------------------------
+
+
+def _keyswitch_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
+                      iw_ref, iwsh_ref, d_ref, keys_ref, o_ref, *, lazy=False):
+    n = d_ref.shape[-1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
+    inv = _inv_sweep_lazy if lazy else _inv_sweep
+    dr = mm.barrett_reduce_u32(d_ref[...], p, mu)          # [kd, n] mod p_i
+    f = fwd(dr, fw_ref[0], fwsh_ref[0], p, n)              # [kd, n]
+    k0 = keys_ref[0, :, 0, :]                              # [kd, n]
+    k1 = keys_ref[0, :, 1, :]
+    acc0 = mm.add_mod_tree(mm.mul_mod_barrett(f, k0, p, mu), p, axis=0)
+    acc1 = mm.add_mod_tree(mm.mul_mod_barrett(f, k1, p, mu), p, axis=0)
+    acc = jnp.concatenate([acc0, acc1], axis=0)            # [2, n]
+    o_ref[...] = inv(acc, iw_ref[0], iwsh_ref[0],
+                     ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "lazy"))
+def keyswitch_fused(d: jax.Array, keys_t: jax.Array, pt: PallasNTTTables,
+                    interpret: bool = False, lazy: bool = True) -> jax.Array:
+    """Key-switch inner product, entirely inside ONE kernel per prime.
+
+    d:      [kd, n]        gadget digits, digit j reduced mod its own q_j
+                           (any u32 < 2^30 — the kernel re-reduces mod p_i).
+    keys_t: [k, kd, 2, n]  NTT-form key material, prime-major
+                           (transpose of the stored [digit, prime, 2, n]).
+    Returns [k, 2, n] coefficient-domain delta = INTT(sum_j NTT(D_j) ⊙ key_j).
+
+    The digit broadcast-reduce, the kd forward transforms, the 2·kd pointwise
+    products, the log2(kd) mod-add tree, and the 2 inverse transforms never
+    leave VMEM — this is the relinearization/rotation critical path
+    (reference relin spec docs/ARCHITECTURE.md:319-327, key_switch decl
+    include/fhe.cuh:134-135) with zero inter-kernel HBM round trips.
+    Bit-exact with the composed bfv path (tests/test_pallas.py)."""
+    k, kd, two, n = keys_t.shape
+    assert two == 2 and d.shape == (kd, n)
+    s = pt.fwd_w.shape[1]
+    grid = (k,)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table = pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    d_in = pl.BlockSpec((kd, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    d_keys = pl.BlockSpec((1, kd, 2, n), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((1, 2, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_keyswitch_kernel, lazy=lazy),
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, table, table, table, table,
+                  d_in, d_keys],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((k, 2, n), jnp.uint32),
+        interpret=interpret,
+    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.fwd_w, pt.fwd_w_sh,
+      pt.inv_w, pt.inv_w_sh, d, keys_t)
+
+
+# ---------------------------------------------------------------------------
 # fused ciphertext tensor product: fwd(x), fwd(y), pointwise, inv — ONE kernel
 # ---------------------------------------------------------------------------
 

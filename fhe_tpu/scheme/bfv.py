@@ -524,10 +524,9 @@ def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys,
     c2 = ct.data[:, 2]  # [k-L, n]
     keys = (rlk.data if keys_at_level
             else _switch_keys_down(ctx, rlk.data, level, bgv))
-    acc0, acc1 = _keyswitch_inner(ctx, c2, keys, level)
     tb = _tb(ctx, level)
     p = _p3(tb)
-    delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
+    delta = _keyswitch_delta(ctx, c2, keys, level)
     out = mm.add_mod(ct.data[:, :2], delta, p)
     return ct.replace(data=out, noise_budget=_b_of(
         ctx, level,
@@ -582,6 +581,29 @@ def _keyswitch_inner(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
         ctx, _digits_ntt(ctx, poly, level), ks_keys, level)
 
 
+def _keyswitch_delta(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
+                     level: int = 0) -> jax.Array:
+    """Coefficient-domain key-switch correction INTT(sum_j NTT(D_j) ⊙ key_j)
+    as one [k-L, 2, n] tensor — the whole relin/rotation critical path.
+
+    Pallas contexts run it in ONE fused kernel per prime (digit reduce,
+    forward transforms, inner product, inverse transform all stay in VMEM —
+    ntt_pallas.keyswitch_fused); other engines compose the same ops through
+    HBM.  Bit-exact either way (tests/test_pallas.py).  The hoisted-rotation
+    path (hoisted_galois) keeps the composed form: it shares one digit
+    decomposition across many automorphisms, which a per-call fusion cannot."""
+    if ctx.use_pallas:
+        tb = _tb(ctx, level)
+        inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
+        d = mm.mul_mod_shoup(
+            poly, inv_qhat[:, None], inv_qhat_sh[:, None], tb.p[:, None])
+        keys_t = jnp.transpose(ks_keys, (1, 0, 2, 3))  # [k_primes, kd, 2, n]
+        return _ntt_pl.keyswitch_fused(
+            d, keys_t, _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
+    acc0, acc1 = _keyswitch_inner(ctx, poly, ks_keys, level)
+    return _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
+
+
 def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
              rlk: RelinKeys, keys_at_level: bool = False) -> Ciphertext:
     """Full homomorphic multiply: tensor + scale + relinearize
@@ -608,8 +630,7 @@ def key_switch(ctx: SchemeContext, ct: Ciphertext, ks_keys: jax.Array,
     p = _p3(tb)
     keys = ks_keys if keys_at_level else _switch_keys_down(
         ctx, ks_keys, level, bgv)
-    acc0, acc1 = _keyswitch_inner(ctx, ct.data[:, 1], keys, level)
-    delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
+    delta = _keyswitch_delta(ctx, ct.data[:, 1], keys, level)
     c0 = mm.add_mod(ct.data[:, :1], delta[:, :1], p)
     return ct.replace(data=jnp.concatenate([c0, delta[:, 1:]], axis=1))
 

@@ -90,7 +90,7 @@ def test_scheme_pallas_dispatch_interpreted(monkeypatch):
     from fhe_tpu.scheme.context import make_context
 
     for name in ("ntt_forward", "ntt_inverse", "tensor_product",
-                 "mul_by_ntt_operand"):
+                 "mul_by_ntt_operand", "keyswitch_fused"):
         monkeypatch.setattr(npal, name,
                             ft.partial(getattr(npal, name), interpret=True))
 
@@ -118,6 +118,14 @@ def test_scheme_pallas_dispatch_interpreted(monkeypatch):
     np.testing.assert_array_equal(np.asarray(dec_pl.data),
                                   np.asarray(dec_ref.data))
     assert list(enc.decode(dec_pl)[:4]) == [15, 60, 135, 240]
+
+    # relinearize routes through the fused key-switch kernel
+    k4 = jrandom.fold_in(key, 4)
+    rlk = bfv.relinkey_gen(ctx_ref, k4, sk)
+    rel_pl = bfv.relinearize(ctx_pl, prod_pl, rlk)
+    rel_ref = bfv.relinearize(ctx_ref, prod_ref, rlk)
+    np.testing.assert_array_equal(np.asarray(rel_pl.data),
+                                  np.asarray(rel_ref.data))
 
     # BGV encrypt routes through the same fused pk·u kernel
     from fhe_tpu.scheme import bgv
@@ -162,6 +170,29 @@ def test_lazy_sweeps_bit_exact():
     np.testing.assert_array_equal(
         np.asarray(npal.tensor_product(x, y, pt, interpret=True, lazy=True)),
         np.asarray(npal.tensor_product(x, y, pt, interpret=True)))
+
+
+def test_keyswitch_fused_matches_composed():
+    """The one-kernel key switch == digit-reduce/NTT/inner-product/INTT chain."""
+    from fhe_tpu.ops import modmath as mm
+    n, k = 512, 3
+    ps, tb, pt, _ = make(n, k, 1)
+    parr = np.array(ps, dtype=np.uint32)
+    d = jnp.asarray(np.stack(  # digits: row j already reduced mod its own q_j
+        [RNG.integers(0, p, n, dtype=np.uint32) for p in ps]))
+    keys_t = jnp.asarray(np.stack([  # [k_primes, kd, 2, n], rows < p_i
+        RNG.integers(0, p, (k, 2, n), dtype=np.uint32) for p in ps]))
+    got = np.asarray(npal.keyswitch_fused(d, keys_t, pt, interpret=True))
+    # composed: broadcast-reduce digits to every prime, NTT, inner, INTT
+    p3 = tb.p[:, None, None]
+    d_all = mm.barrett_reduce_u32(d[None], p3, tb.mu[:, None, None])
+    f = jax.jit(_ntt.ntt_forward)(d_all, tb)             # [k, kd, n]
+    prod = mm.mul_mod_barrett(f[:, :, None, :], jnp.asarray(keys_t),
+                              tb.p[:, None, None, None],
+                              tb.mu[:, None, None, None])
+    acc = mm.add_mod_tree(prod, tb.p[:, None, None, None], axis=1)[:, 0]
+    want = np.asarray(jax.jit(_ntt.ntt_inverse)(acc, tb))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_fused_tensor_product_matches_composed():
