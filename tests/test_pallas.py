@@ -127,6 +127,19 @@ def test_scheme_pallas_dispatch_interpreted(monkeypatch):
     np.testing.assert_array_equal(np.asarray(rel_pl.data),
                                   np.asarray(rel_ref.data))
 
+    # ... and stays bit-exact after a mod switch (level-1 sliced tables,
+    # down-switched keys) — the leveled fused key-switch path
+    lv_pl = bfv.multiply_no_relin(
+        ctx_pl, bfv.mod_switch_to_next(ctx_pl, ct_pl),
+        bfv.mod_switch_to_next(ctx_pl, ct2))
+    lv_ref = bfv.multiply_no_relin(
+        ctx_ref, bfv.mod_switch_to_next(ctx_ref, ct_ref),
+        bfv.mod_switch_to_next(ctx_ref, ct2))
+    rel1_pl = bfv.relinearize(ctx_pl, lv_pl, rlk)
+    rel1_ref = bfv.relinearize(ctx_ref, lv_ref, rlk)
+    np.testing.assert_array_equal(np.asarray(rel1_pl.data),
+                                  np.asarray(rel1_ref.data))
+
     # BGV encrypt routes through the same fused pk·u kernel
     from fhe_tpu.scheme import bgv
     bpk, bsk = bgv.keygen(ctx_ref, k1)
