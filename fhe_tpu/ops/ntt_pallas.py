@@ -134,6 +134,39 @@ def slice_tables_last(pt: PallasNTTTables, k: int) -> PallasNTTTables:
     return PallasNTTTables(*(arr[-k:] for arr in pt))
 
 
+@functools.lru_cache(maxsize=None)
+def build_mul_tables(n: int, q_primes: tuple[int, ...],
+                     bsk_primes: tuple[int, ...], t: int,
+                     kq: int, kb: int
+                     ) -> tuple[PallasNTTTables, PallasNTTTables]:
+    """(q-base, Bsk-base) tables for the BEHZ multiply's tensor products,
+    with the scale-by-t of SURVEY §3.4 step 3 FOLDED into the inverse
+    normalization constant (n_inv -> t*n_inv mod p).
+
+    The INTT already ends with an exact Shoup multiply by n^-1, so t*n^-1
+    is just a different precomputed constant — the separate [k, 3, n]
+    scale-by-t pass disappears entirely (measured v5e win: 100.7 µs vs
+    108.7 µs for the k=3 double-base tensor product; a single concatenated
+    q‖Bsk dispatch was also tried and LOST at k=3 — the operand concat
+    copies cost more than the saved dispatch)."""
+    hq = _build_pallas_host(n, tuple(q_primes))
+    hb = _build_pallas_host(n, tuple(bsk_primes))
+
+    def scaled(host, rows, ps):
+        out = {f: v[rows] for f, v in host.items()}
+        n_inv = [int(x) for x in out["n_inv"][:, 0]]
+        t_ninv = [(t * v) % p for v, p in zip(n_inv, ps)]
+        out["n_inv"] = np.array(t_ninv, dtype=_U)[:, None]
+        out["n_inv_shoup"] = np.array(
+            [mm.shoup_precompute(v, p) for v, p in zip(t_ninv, ps)],
+            dtype=_U)[:, None]
+        return PallasNTTTables(
+            **{f: jnp.asarray(v) for f, v in out.items()})
+
+    return (scaled(hq, slice(None, kq), list(q_primes[:kq])),
+            scaled(hb, slice(-kb, None), list(bsk_primes)[-kb:]))
+
+
 # ---------------------------------------------------------------------------
 # kernel bodies (pure jnp on values; also used by tests in interpreter mode)
 # ---------------------------------------------------------------------------

@@ -450,19 +450,25 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     lift_a = _rns.sm_mrq(a.data, smq)   # [l+1, 2, n]
     lift_b = _rns.sm_mrq(b.data, smq)
 
-    # Step 2: tensor products in both bases via NTT (engine-dispatched).
-    tens_q = _dispatch_tensor_product(ctx, a.data, b.data, level)  # [k-L, 3, n]
-    tens_bsk = _dispatch_tensor_product(ctx, lift_a, lift_b, level,
-                                        base="bsk")                # [l+1, 3, n]
-
-    # Step 3: scale by t and FastFloor into Bsk.
-    t_mod_q = ctx.dec_c.t  # t < every prime: same residue everywhere
-    tx_q = mm.mul_mod_barrett(
-        tens_q, jnp.broadcast_to(t_mod_q, tens_q.shape), _p3(tb_q),
-        tb_q.mu[:, None, None])
-    tx_bsk = mm.mul_mod_barrett(
-        tens_bsk, jnp.broadcast_to(t_mod_q, tens_bsk.shape), _p3(tb_bsk),
-        tb_bsk.mu[:, None, None])
+    # Steps 2+3: tensor products in both bases, scaled by t.  Pallas
+    # contexts fold the t-scale into the INTT normalization constant
+    # (context.ntt_mul_pl_levels — measured 8% multiply win on v5e);
+    # other engines compose per base and scale explicitly.
+    if ctx.use_pallas and not ctx.use_mxu:
+        tq_pl, tbsk_pl = ctx.ntt_mul_pl_levels[level]
+        tx_q = _ntt_pl.tensor_product(a.data, b.data, tq_pl)
+        tx_bsk = _ntt_pl.tensor_product(lift_a, lift_b, tbsk_pl)
+    else:
+        tens_q = _dispatch_tensor_product(ctx, a.data, b.data, level)
+        tens_bsk = _dispatch_tensor_product(ctx, lift_a, lift_b, level,
+                                            base="bsk")
+        t_mod_q = ctx.dec_c.t  # t < every prime: same residue everywhere
+        tx_q = mm.mul_mod_barrett(
+            tens_q, jnp.broadcast_to(t_mod_q, tens_q.shape), _p3(tb_q),
+            tb_q.mu[:, None, None])
+        tx_bsk = mm.mul_mod_barrett(
+            tens_bsk, jnp.broadcast_to(t_mod_q, tens_bsk.shape), _p3(tb_bsk),
+            tb_bsk.mu[:, None, None])
     floored = _rns.fast_floor(tx_q, tx_bsk, ctx.floor_levels[level])
 
     # Step 4: exact conversion back to q_L.

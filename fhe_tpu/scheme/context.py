@@ -39,6 +39,10 @@ class SchemeContext:
     # zero-copy row slices (ntt_pallas.slice_tables) of the same tables.
     ntt_q_pl: _ntt_pl.PallasNTTTables | None
     ntt_bsk_pl: _ntt_pl.PallasNTTTables | None
+    # Per-level (q, Bsk) table pairs with scale-by-t folded into the inverse
+    # normalization (ntt_pallas.build_mul_tables): the BEHZ multiply's
+    # tensor products emit t*INTT(...) directly, no separate scale pass.
+    ntt_mul_pl_levels: "tuple[tuple[_ntt_pl.PallasNTTTables, _ntt_pl.PallasNTTTables], ...] | None"
     use_pallas: bool = flax.struct.field(pytree_node=False)
     # MXU four-step engine tables (ops/ntt_mxu.py): used for the closed
     # fwd->pointwise->inv loops of the multiply tensor product, where the
@@ -234,6 +238,11 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
         ntt_bsk=_ntt.build_tables(n, params.bsk_primes),
         ntt_q_pl=_ntt_pl.build_pallas_tables(n, params.q_primes) if use_pallas else None,
         ntt_bsk_pl=_ntt_pl.build_pallas_tables(n, params.bsk_primes) if use_pallas else None,
+        ntt_mul_pl_levels=tuple(
+            _ntt_pl.build_mul_tables(
+                n, params.q_primes, params.bsk_primes, params.t,
+                params.k - lvl, bsk_counts[lvl])
+            for lvl in range(params.k)) if use_pallas else None,
         use_pallas=use_pallas,
         ntt_q_mxu=_ntt_mxu.build_mxu_tables(n, params.q_primes) if use_mxu else None,
         ntt_bsk_mxu=_ntt_mxu.build_mxu_tables(n, params.bsk_primes) if use_mxu else None,
