@@ -180,8 +180,16 @@ def _first_of_pair_mask(t: int, shape):
     return (j // t) % 2 == 0
 
 
-def _fwd_sweep(x, w_tbl, w_sh_tbl, p, n):
-    """All CT stages on the flat [Bt, n] block (w_tbl: [S, n]).
+def _wget_single(w_tbl, w_sh_tbl):
+    """Twiddle provider for one-prime blocks: stage s -> ([1, n], [1, n])."""
+    return lambda sidx: (w_tbl[sidx][None], w_sh_tbl[sidx][None])
+
+
+def _fwd_sweep(x, wget, p, n):
+    """All CT stages on the flat [Bt, n] block.
+
+    wget(s) yields the stage-s twiddle pair, broadcastable against x
+    (_wget_single); p is a scalar or a per-row [Bt, 1] column.
 
     ONE Shoup multiply per stage: both slots of a butterfly pair share the
     same twiddle (position j maps to table entry m + j//(2t), identical for
@@ -191,8 +199,7 @@ def _fwd_sweep(x, w_tbl, w_sh_tbl, p, n):
     for sidx, m in enumerate(_stage_ms(n)):
         t = n // (2 * m)
         mask = _first_of_pair_mask(t, x.shape)
-        w = w_tbl[sidx][None]
-        ws = w_sh_tbl[sidx][None]
+        w, ws = wget(sidx)
         wx = mm.mul_mod_shoup(x, w, ws, p)            # w*V at V slots
         wv_at_first = jnp.roll(wx, -t, axis=1)        # w*V at U slots
         u_at_second = jnp.roll(x, t, axis=1)          # partner U at V slots
@@ -202,14 +209,13 @@ def _fwd_sweep(x, w_tbl, w_sh_tbl, p, n):
     return x
 
 
-def _inv_sweep(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
+def _inv_sweep(x, wget, n_inv, n_inv_sh, p, n):
     """All GS stages (m = n/2 .. 1) + n^-1 scale on the flat [Bt, n] block."""
     stages = list(enumerate(_stage_ms(n)))[::-1]
     for sidx, m in stages:
         t = n // (2 * m)
         mask = _first_of_pair_mask(t, x.shape)
-        w = w_tbl[sidx][None]
-        ws = w_sh_tbl[sidx][None]
+        w, ws = wget(sidx)
         v_at_first = jnp.roll(x, -t, axis=1)
         u_at_second = jnp.roll(x, t, axis=1)
         summed = mm.add_mod(x, v_at_first, p)                # U + V
@@ -219,7 +225,7 @@ def _inv_sweep(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
     return mm.mul_mod_shoup(x, n_inv, n_inv_sh, p)
 
 
-def _fwd_sweep_lazy(x, w_tbl, w_sh_tbl, p, n):
+def _fwd_sweep_lazy(x, wget, p, n):
     """Harvey lazy-reduction CT sweep: stage inputs live in [0, 4p).
 
     mul_mod_shoup_lazy accepts ANY u32 operand and lands in [0, 2p), so a
@@ -231,8 +237,7 @@ def _fwd_sweep_lazy(x, w_tbl, w_sh_tbl, p, n):
     for sidx, m in enumerate(_stage_ms(n)):
         t = n // (2 * m)
         mask = _first_of_pair_mask(t, x.shape)
-        w = w_tbl[sidx][None]
-        ws = w_sh_tbl[sidx][None]
+        w, ws = wget(sidx)
         wx = mm.mul_mod_shoup_lazy(x, w, ws, p)       # [0, 2p) for any u32 x
         xu = jnp.where(x >= two_p, x - two_p, x)      # U operand -> [0, 2p)
         wv_at_first = jnp.roll(wx, -t, axis=1)
@@ -244,7 +249,7 @@ def _fwd_sweep_lazy(x, w_tbl, w_sh_tbl, p, n):
     return jnp.where(x >= p, x - p, x)
 
 
-def _inv_sweep_lazy(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
+def _inv_sweep_lazy(x, wget, n_inv, n_inv_sh, p, n):
     """Lazy GS sweep: stage values in [0, 2p); sums fold once, differences
     are renormalized by the Shoup multiply itself.  The exact final n^-1
     Shoup multiply restores [0, p) — bit-exact with _inv_sweep."""
@@ -253,8 +258,7 @@ def _inv_sweep_lazy(x, w_tbl, w_sh_tbl, n_inv, n_inv_sh, p, n):
     for sidx, m in stages:
         t = n // (2 * m)
         mask = _first_of_pair_mask(t, x.shape)
-        w = w_tbl[sidx][None]
-        ws = w_sh_tbl[sidx][None]
+        w, ws = wget(sidx)
         v_at_first = jnp.roll(x, -t, axis=1)
         u_at_second = jnp.roll(x, t, axis=1)
         s = x + v_at_first                            # [0, 4p)
@@ -270,7 +274,7 @@ def _fwd_kernel(p_ref, w_ref, wsh_ref, x_ref, o_ref, *, lazy=False):
     i = pl.program_id(0)
     p = p_ref[i, 0]
     sweep = _fwd_sweep_lazy if lazy else _fwd_sweep
-    o_ref[...] = sweep(x_ref[0], w_ref[0], wsh_ref[0], p, n)[None]
+    o_ref[...] = sweep(x_ref[0], _wget_single(w_ref[0], wsh_ref[0]), p, n)[None]
 
 
 def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, x_ref, o_ref,
@@ -280,8 +284,8 @@ def _inv_kernel(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, x_ref, o_ref,
     p = p_ref[i, 0]
     sweep = _inv_sweep_lazy if lazy else _inv_sweep
     o_ref[...] = sweep(
-        x_ref[0], w_ref[0], wsh_ref[0], ninv_ref[i, 0], ninvsh_ref[i, 0], p, n
-    )[None]
+        x_ref[0], _wget_single(w_ref[0], wsh_ref[0]),
+        ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +319,13 @@ def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
 
     lazy=True (the default — won the on-device A/B: 1.0 µs vs 1.8 µs per
     batched n=8192 transform) uses the Harvey [0, 4p) butterfly chain (one
-    select per stage instead of three) — bit-identical output."""
+    select per stage instead of three) — bit-identical output.
+
+    Blocks stay one-prime-per-grid-step: the stage twiddle is then a free
+    [1, n] broadcast.  (A kp-primes-per-step variant with flat [kp*bt, n]
+    rows was tried on device and LOST ~2.4x — the per-stage jnp.repeat of
+    twiddles down the sublanes materializes [rows, n] buffers every stage,
+    and the inverse sweep blew the 16 MB VMEM stack outright.)"""
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.fwd_w.shape[1]
@@ -372,9 +382,9 @@ def _ntt_mul_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
     mu = mu_ref[i, 0]
     fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
     inv = _inv_sweep_lazy if lazy else _inv_sweep
-    un = fwd(u_ref[0], fw_ref[0], fwsh_ref[0], p, n)        # [1, n]
+    un = fwd(u_ref[0], _wget_single(fw_ref[0], fwsh_ref[0]), p, n)  # [1, n]
     prod = mm.mul_mod_barrett(jnp.broadcast_to(un, (c, n)), w_ref[0], p, mu)
-    o_ref[...] = inv(prod, iw_ref[0], iwsh_ref[0],
+    o_ref[...] = inv(prod, _wget_single(iw_ref[0], iwsh_ref[0]),
                      ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
@@ -428,13 +438,13 @@ def _keyswitch_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
     fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
     inv = _inv_sweep_lazy if lazy else _inv_sweep
     dr = mm.barrett_reduce_u32(d_ref[...], p, mu)          # [kd, n] mod p_i
-    f = fwd(dr, fw_ref[0], fwsh_ref[0], p, n)              # [kd, n]
+    f = fwd(dr, _wget_single(fw_ref[0], fwsh_ref[0]), p, n)  # [kd, n]
     k0 = keys_ref[0, :, 0, :]                              # [kd, n]
     k1 = keys_ref[0, :, 1, :]
     acc0 = mm.add_mod_tree(mm.mul_mod_barrett(f, k0, p, mu), p, axis=0)
     acc1 = mm.add_mod_tree(mm.mul_mod_barrett(f, k1, p, mu), p, axis=0)
     acc = jnp.concatenate([acc0, acc1], axis=0)            # [2, n]
-    o_ref[...] = inv(acc, iw_ref[0], iwsh_ref[0],
+    o_ref[...] = inv(acc, _wget_single(iw_ref[0], iwsh_ref[0]),
                      ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
@@ -493,14 +503,14 @@ def _tensor_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
     fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
     inv = _inv_sweep_lazy if lazy else _inv_sweep
     xy = jnp.concatenate([x_ref[0], y_ref[0]], axis=0)      # [4, n]
-    f = fwd(xy, fw_ref[0], fwsh_ref[0], p, n)
+    f = fwd(xy, _wget_single(fw_ref[0], fwsh_ref[0]), p, n)
     a0, a1, b0, b1 = f[0:1], f[1:2], f[2:3], f[3:4]
     c0 = mm.mul_mod_barrett(a0, b0, p, mu)
     c2 = mm.mul_mod_barrett(a1, b1, p, mu)
     c1 = mm.add_mod(mm.mul_mod_barrett(a0, b1, p, mu),
                     mm.mul_mod_barrett(a1, b0, p, mu), p)
     prod = jnp.concatenate([c0, c1, c2], axis=0)            # [3, n]
-    o_ref[...] = inv(prod, iw_ref[0], iwsh_ref[0],
+    o_ref[...] = inv(prod, _wget_single(iw_ref[0], iwsh_ref[0]),
                      ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
@@ -514,7 +524,10 @@ def tensor_product(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
 
     Bit-exact with the composed ntt_forward/pointwise/ntt_inverse path
     (tests/test_pallas.py).  VMEM: 4 twiddle tables + mask + 7 data rows
-    (~5 MB at n = 16384)."""
+    (~5 MB at n = 16384).  (An all-primes-in-one-step variant — [4k, n]
+    sublane-packed rows — was measured on device and REJECTED: the
+    per-stage twiddle repeats blow the 16 MB VMEM stack and run ~2.4x
+    slower than the broadcast-twiddle form; see ntt_forward docstring.)"""
     k, two, n = x.shape
     assert two == 2 and y.shape == x.shape
     s = pt.fwd_w.shape[1]
