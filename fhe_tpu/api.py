@@ -183,6 +183,18 @@ class FHE:
         with self.monitor.time("multiply"):
             return self._multiply(self.ctx, a, b, rlk)
 
+    def multiply_batch(self, cts_a, cts_b, rlk: RelinKeys):
+        """Multiply+relinearize B independent ciphertext pairs through the
+        batched fused kernels (scheme.bfv.multiply_batch) — the
+        serving-throughput path; element i == multiply(cts_a[i], cts_b[i])."""
+        fn = getattr(self._scheme, "multiply_batch", None)
+        if fn is None:  # scheme without a batched path (bgv): compose
+            return [self.multiply(a, b, rlk) for a, b in zip(cts_a, cts_b)]
+        level = cts_a[0].level if cts_a else 0
+        rlk_l = self._rlk_at(rlk, level) if level else rlk
+        with self.monitor.time("multiply_batch"):
+            return fn(self.ctx, cts_a, cts_b, rlk_l, keys_at_level=bool(level))
+
     def multiply_no_relin(self, a, b):
         return self._multiply_no_relin(self.ctx, a, b)
 

@@ -549,3 +549,144 @@ def tensor_product(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
         interpret=interpret,
     )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.fwd_w, pt.fwd_w_sh,
       pt.inv_w, pt.inv_w_sh, x, y)
+
+
+# ---------------------------------------------------------------------------
+# batched variants: bt independent ciphertexts per grid step.  One prime per
+# step keeps the stage twiddle a free [1, n] broadcast; the batch rows fill
+# the 8 VPU sublanes that single-ciphertext blocks leave idle — the serving-
+# throughput kernels (reference SIMD-throughput headline,
+# docs/ARCHITECTURE.md:514-521, scaled from slots to whole ciphertexts).
+# ---------------------------------------------------------------------------
+
+
+def _tensor_kernel_batch(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
+                         fwsh_ref, iw_ref, iwsh_ref, x_ref, y_ref, o_ref,
+                         *, lazy=False):
+    one, two, bt, n = x_ref.shape
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
+    inv = _inv_sweep_lazy if lazy else _inv_sweep
+    # component-major rows: [x0(bt), x1(bt), y0(bt), y1(bt)] — merging the
+    # leading (component, batch) dims is relayout-free
+    xy = jnp.concatenate([x_ref[0].reshape(2 * bt, n),
+                          y_ref[0].reshape(2 * bt, n)], axis=0)   # [4bt, n]
+    f = fwd(xy, _wget_single(fw_ref[0], fwsh_ref[0]), p, n)
+    a0, a1 = f[:bt], f[bt:2 * bt]
+    b0, b1 = f[2 * bt:3 * bt], f[3 * bt:]
+    c0 = mm.mul_mod_barrett(a0, b0, p, mu)
+    c2 = mm.mul_mod_barrett(a1, b1, p, mu)
+    c1 = mm.add_mod(mm.mul_mod_barrett(a0, b1, p, mu),
+                    mm.mul_mod_barrett(a1, b0, p, mu), p)
+    prod = jnp.concatenate([c0, c1, c2], axis=0)                  # [3bt, n]
+    o = inv(prod, _wget_single(iw_ref[0], iwsh_ref[0]),
+            ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)
+    o_ref[...] = o.reshape(1, 3, bt, n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_batch", "lazy"))
+def tensor_product_batch(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
+                         interpret: bool = False, block_batch: int = 8,
+                         lazy: bool = True) -> jax.Array:
+    """Batched fused tensor product: x, y are [k, 2, B, n] stacks of B
+    independent ciphertext halves (component-major so batch rows sit in
+    the sublane dimension); returns [k, 3, B, n].  Row b of the output is
+    bit-exact with tensor_product(x[:, :, b], y[:, :, b])."""
+    k, two, batch, n = x.shape
+    assert two == 2 and y.shape == x.shape
+    bt = _pick_bt(batch, block_batch)
+    s = pt.fwd_w.shape[1]
+    grid = (k, pl.cdiv(batch, bt))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table = pl.BlockSpec((1, s, n), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    din = pl.BlockSpec((1, 2, bt, n), lambda i, b: (i, 0, b, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((1, 3, bt, n), lambda i, b: (i, 0, b, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_tensor_kernel_batch, lazy=lazy),
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, table, table, table, table,
+                  din, din],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((k, 3, batch, n), jnp.uint32),
+        interpret=interpret,
+    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.fwd_w, pt.fwd_w_sh,
+      pt.inv_w, pt.inv_w_sh, x, y)
+
+
+def _keyswitch_kernel_batch(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
+                            fwsh_ref, iw_ref, iwsh_ref, d_ref, keys_ref,
+                            o_ref, *, lazy=False):
+    kd, bt, n = d_ref.shape
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
+    inv = _inv_sweep_lazy if lazy else _inv_sweep
+    # digit-major rows [kd*bt, n]: key row for flat row r is r // bt, so the
+    # key operand is a ONE-TIME repeat down the sublanes (not per stage)
+    dr = mm.barrett_reduce_u32(d_ref[...].reshape(kd * bt, n), p, mu)
+    f = fwd(dr, _wget_single(fw_ref[0], fwsh_ref[0]), p, n)   # [kd*bt, n]
+    k0 = jnp.repeat(keys_ref[0, :, 0, :], bt, axis=0)         # [kd*bt, n]
+    k1 = jnp.repeat(keys_ref[0, :, 1, :], bt, axis=0)
+    f0 = mm.mul_mod_barrett(f, k0, p, mu)
+    f1 = mm.mul_mod_barrett(f, k1, p, mu)
+    # balanced tree over the digit axis, staying in flat row space
+    g = kd
+    while g > 1:
+        h = g // 2
+        f0 = mm.add_mod(f0[:h * bt], f0[h * bt:2 * h * bt], p) if g == 2 * h \
+            else jnp.concatenate(
+                [mm.add_mod(f0[:h * bt], f0[h * bt:2 * h * bt], p),
+                 f0[2 * h * bt:]], axis=0)
+        f1 = mm.add_mod(f1[:h * bt], f1[h * bt:2 * h * bt], p) if g == 2 * h \
+            else jnp.concatenate(
+                [mm.add_mod(f1[:h * bt], f1[h * bt:2 * h * bt], p),
+                 f1[2 * h * bt:]], axis=0)
+        g = g - h
+    acc = jnp.concatenate([f0, f1], axis=0)                   # [2bt, n]
+    o = inv(acc, _wget_single(iw_ref[0], iwsh_ref[0]),
+            ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)
+    o_ref[...] = o.reshape(1, 2, bt, n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_batch", "lazy"))
+def keyswitch_fused_batch(d: jax.Array, keys_t: jax.Array,
+                          pt: PallasNTTTables, interpret: bool = False,
+                          block_batch: int = 8, lazy: bool = True
+                          ) -> jax.Array:
+    """Batched fused key switch: d is [kd, B, n] gadget digits for B
+    independent ciphertexts (digit-major), keys_t as in keyswitch_fused.
+    Returns [k, 2, B, n]; slice b is bit-exact with
+    keyswitch_fused(d[:, b], keys_t)."""
+    k, kd, two, n = keys_t.shape
+    assert two == 2 and d.shape[0] == kd and d.shape[2] == n
+    batch = d.shape[1]
+    bt = _pick_bt(batch, block_batch)
+    s = pt.fwd_w.shape[1]
+    grid = (k, pl.cdiv(batch, bt))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table = pl.BlockSpec((1, s, n), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    d_in = pl.BlockSpec((kd, bt, n), lambda i, b: (0, b, 0),
+                        memory_space=pltpu.VMEM)
+    d_keys = pl.BlockSpec((1, kd, 2, n), lambda i, b: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((1, 2, bt, n), lambda i, b: (i, 0, b, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_keyswitch_kernel_batch, lazy=lazy),
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, table, table, table, table,
+                  d_in, d_keys],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((k, 2, batch, n), jnp.uint32),
+        interpret=interpret,
+    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.fwd_w, pt.fwd_w_sh,
+      pt.inv_w, pt.inv_w_sh, d, keys_t)

@@ -618,6 +618,67 @@ def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
                        keys_at_level=keys_at_level)
 
 
+def multiply_batch(ctx: SchemeContext, cts_a: list, cts_b: list,
+                   rlk: RelinKeys, keys_at_level: bool = False) -> list:
+    """B independent multiply+relinearize ops through the BATCHED fused
+    kernels: every transform processes `bt` ciphertexts per grid step, so
+    the batch rows fill the VPU sublanes a single multiply leaves idle
+    (ntt_pallas.tensor_product_batch / keyswitch_fused_batch) — the
+    serving-throughput path scaling the reference's SIMD-batch headline
+    (docs/ARCHITECTURE.md:514-521) from slots to whole ciphertexts.
+
+    Element i of the result is bit-exact with
+    multiply(ctx, cts_a[i], cts_b[i], rlk) (tests/test_pallas.py)."""
+    if len(cts_a) != len(cts_b) or not cts_a:
+        raise ValueError("multiply_batch needs equal-length non-empty lists")
+    level = cts_a[0].level
+    if any(ct.level != level for ct in cts_a + cts_b):
+        raise ValueError("multiply_batch: all ciphertexts at one level")
+    if not ctx.use_pallas or ctx.use_mxu:
+        return [multiply(ctx, a, b, rlk, keys_at_level)
+                for a, b in zip(cts_a, cts_b)]
+    a_st = jnp.stack([to_coeff(ctx, a).data for a in cts_a])  # [B, k, 2, n]
+    b_st = jnp.stack([to_coeff(ctx, b).data for b in cts_b])
+    smq = ctx.smq_levels[level]
+    lift_a = jax.vmap(_rns.sm_mrq, in_axes=(0, None))(a_st, smq)
+    lift_b = jax.vmap(_rns.sm_mrq, in_axes=(0, None))(b_st, smq)
+    to_k = lambda t: jnp.transpose(t, (1, 2, 0, 3))    # [B,k,c,n]->[k,c,B,n]
+    from_k = lambda t: jnp.transpose(t, (2, 0, 1, 3))
+    tq_pl, tbsk_pl = ctx.ntt_mul_pl_levels[level]
+    tx_q = _ntt_pl.tensor_product_batch(to_k(a_st), to_k(b_st), tq_pl)
+    tx_bsk = _ntt_pl.tensor_product_batch(to_k(lift_a), to_k(lift_b), tbsk_pl)
+    floored = jax.vmap(_rns.fast_floor, in_axes=(0, 0, None))(
+        from_k(tx_q), from_k(tx_bsk), ctx.floor_levels[level])
+    out3 = jax.vmap(_rns.fast_bconv_sk, in_axes=(0, None))(
+        floored, ctx.sk_levels[level])                 # [B, k-L, 3, n]
+    # batched relinearization: one digit decomposition per ciphertext, one
+    # fused kernel pass over all of them
+    keys = (rlk.data if keys_at_level
+            else _switch_keys_down(ctx, rlk.data, level, False))
+    tb = _tb(ctx, level)
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
+    d = mm.mul_mod_shoup(
+        out3[:, :, 2], inv_qhat[None, :, None], inv_qhat_sh[None, :, None],
+        tb.p[None, :, None])                           # [B, k-L, n]
+    delta = _ntt_pl.keyswitch_fused_batch(
+        jnp.transpose(d, (1, 0, 2)), jnp.transpose(keys, (1, 0, 2, 3)),
+        _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))  # [k, 2, B, n]
+    data2 = mm.add_mod(out3[:, :, :2], from_k(delta),
+                       tb.p[None, :, None, None])      # [B, k-L, 2, n]
+    outs = []
+    for i, (a, b) in enumerate(zip(cts_a, cts_b)):
+        # same two-step bookkeeping as multiply_no_relin -> relinearize
+        # (the budget<->variance roundtrip clamps at the 0 floor)
+        b3 = _b_of(ctx, level, _noise.bfv_multiply(
+            ctx.params, _v_of(ctx, a), _v_of(ctx, b)))
+        v3 = _noise.bfv_variance(ctx.params, level, b3)
+        bud = _b_of(ctx, level, _noise.add(
+            v3, _noise.keyswitch_add(ctx.params, level)))
+        outs.append(Ciphertext(data=data2[i], level=level, is_ntt_form=False,
+                               noise_budget=bud))
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # key switching / galois rotations (declared-only in the reference)
 # ---------------------------------------------------------------------------

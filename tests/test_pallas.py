@@ -208,6 +208,70 @@ def test_keyswitch_fused_matches_composed():
     np.testing.assert_array_equal(got, want)
 
 
+def test_batched_kernels_match_single():
+    """tensor_product_batch / keyswitch_fused_batch slice b must equal the
+    single-ciphertext kernels on pair b."""
+    n, k, B = 512, 3, 4
+    ps, tb, pt, _ = make(n, k, 1)
+    xs = jnp.asarray(np.stack([RNG.integers(0, p, (2, B, n), dtype=np.uint32)
+                               for p in ps]))              # [k, 2, B, n]
+    ys = jnp.asarray(np.stack([RNG.integers(0, p, (2, B, n), dtype=np.uint32)
+                               for p in ps]))
+    got = np.asarray(npal.tensor_product_batch(xs, ys, pt, interpret=True))
+    for b in range(B):
+        want = np.asarray(npal.tensor_product(
+            xs[:, :, b], ys[:, :, b], pt, interpret=True))
+        np.testing.assert_array_equal(got[:, :, b], want)
+
+    d = jnp.asarray(np.stack(  # [kd, B, n], digit j reduced mod its own q_j
+        [RNG.integers(0, p, (B, n), dtype=np.uint32) for p in ps]))
+    keys_t = jnp.asarray(np.stack([
+        RNG.integers(0, p, (k, 2, n), dtype=np.uint32) for p in ps]))
+    gks = np.asarray(npal.keyswitch_fused_batch(d, keys_t, pt,
+                                                interpret=True))
+    for b in range(B):
+        want = np.asarray(npal.keyswitch_fused(d[:, b], keys_t, pt,
+                                               interpret=True))
+        np.testing.assert_array_equal(gks[:, :, b], want)
+
+
+def test_multiply_batch_matches_single(monkeypatch):
+    """scheme.bfv.multiply_batch element i == multiply(a_i, b_i) bit-exact
+    (interpreter-mode Pallas on a use_pallas context)."""
+    import functools as ft
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    for name in ("ntt_forward", "ntt_inverse",
+                 "tensor_product", "tensor_product_batch",
+                 "keyswitch_fused", "keyswitch_fused_batch",
+                 "mul_by_ntt_operand"):
+        monkeypatch.setattr(npal, name,
+                            ft.partial(getattr(npal, name), interpret=True))
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=True, use_mxu=False)
+    key = jrandom.PRNGKey(23)
+    pk, sk = bfv.keygen(ctx, jrandom.fold_in(key, 0))
+    rlk = bfv.relinkey_gen(ctx, jrandom.fold_in(key, 1), sk)
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    cts_a = [bfv.encrypt(ctx, jrandom.fold_in(key, 10 + i), pk,
+                         enc.encode([i + 1, 2 * i])) for i in range(3)]
+    cts_b = [bfv.encrypt(ctx, jrandom.fold_in(key, 20 + i), pk,
+                         enc.encode([3 * i + 2, i + 5])) for i in range(3)]
+    got = bfv.multiply_batch(ctx, cts_a, cts_b, rlk)
+    for i in range(3):
+        want = bfv.multiply(ctx, cts_a[i], cts_b[i], rlk)
+        np.testing.assert_array_equal(np.asarray(got[i].data),
+                                      np.asarray(want.data))
+        dec = enc.decode(bfv.decrypt(ctx, got[i], sk))
+        assert list(dec[:2]) == [((i + 1) * (3 * i + 2)) % 65537,
+                                 (2 * i * (i + 5)) % 65537]
+
+
 def test_fused_tensor_product_matches_composed():
     """The one-kernel ciphertext tensor product == fwd/pointwise/inv chain."""
     ps, tb, pt, _ = make(512, 3, 1)
