@@ -126,6 +126,24 @@ class FHE:
         with self.monitor.time("decrypt"):
             return self._decrypt(self.ctx, ct, sk)
 
+    def encrypt_batch(self, pts: list, pk: PublicKey) -> list:
+        """Encrypt B plaintexts through the batched pk·u kernel (element i
+        is an independent fresh encryption; bfv.encrypt_batch)."""
+        fn = getattr(self._scheme, "encrypt_batch", None)
+        if fn is None:
+            return [self.encrypt(pt, pk) for pt in pts]
+        with self.monitor.time("encrypt_batch"):
+            return fn(self.ctx, self._next_key(), pk, pts)
+
+    def decrypt_batch(self, cts: list, sk: SecretKey) -> list:
+        """Decrypt B ciphertexts through the batched c1·s kernel
+        (bfv.decrypt_batch); element i == decrypt(cts[i], sk)."""
+        fn = getattr(self._scheme, "decrypt_batch", None)
+        if fn is None:
+            return [self.decrypt(ct, sk) for ct in cts]
+        with self.monitor.time("decrypt_batch"):
+            return fn(self.ctx, cts, sk)
+
     # -- homomorphic ops --
     def add(self, a, b):
         with self.monitor.time("add"):

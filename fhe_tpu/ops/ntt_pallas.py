@@ -424,6 +424,65 @@ def mul_by_ntt_operand(u: jax.Array, w_ntt: jax.Array, pt: PallasNTTTables,
       pt.inv_w, pt.inv_w_sh, u, w_ntt)
 
 
+def _ntt_mul_kernel_batch(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
+                          fwsh_ref, iw_ref, iwsh_ref, u_ref, w_ref, o_ref,
+                          *, lazy=False):
+    one, bt, n = u_ref.shape
+    c = w_ref.shape[1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
+    inv = _inv_sweep_lazy if lazy else _inv_sweep
+    un = fwd(u_ref[0], _wget_single(fw_ref[0], fwsh_ref[0]), p, n)  # [bt, n]
+    # component-major product rows [c*bt, n]: each w row is a free [1, n]
+    # broadcast against the bt forward rows
+    prod = jnp.concatenate(
+        [mm.mul_mod_barrett(un, w_ref[0, j][None], p, mu) for j in range(c)],
+        axis=0)
+    o = inv(prod, _wget_single(iw_ref[0], iwsh_ref[0]),
+            ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)
+    o_ref[...] = o.reshape(1, c, bt, n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_batch", "lazy"))
+def mul_by_ntt_operand_batch(u: jax.Array, w_ntt: jax.Array,
+                             pt: PallasNTTTables, interpret: bool = False,
+                             block_batch: int = 8, lazy: bool = True
+                             ) -> jax.Array:
+    """Batched INTT(NTT(u_b) ⊙ w): u is [k, B, n] (B independent
+    polynomials), w_ntt a shared [k, c, n] NTT-form operand.  Returns
+    [k, c, B, n]; slice b is bit-exact with
+    mul_by_ntt_operand(u[:, b:b+1], w_ntt).  The batched encrypt/decrypt
+    hot product (batch rows fill the VPU sublanes)."""
+    k, batch, n = u.shape
+    assert w_ntt.shape[0] == k and w_ntt.shape[2] == n
+    c = w_ntt.shape[1]
+    bt = _pick_bt(batch, block_batch)
+    s = pt.fwd_w.shape[1]
+    grid = (k, pl.cdiv(batch, bt))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table = pl.BlockSpec((1, s, n), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    d_u = pl.BlockSpec((1, bt, n), lambda i, b: (i, b, 0),
+                       memory_space=pltpu.VMEM)
+    d_w = pl.BlockSpec((1, c, n), lambda i, b: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((1, c, bt, n), lambda i, b: (i, 0, b, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ntt_mul_kernel_batch, lazy=lazy),
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, table, table, table, table,
+                  d_u, d_w],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((k, c, batch, n), jnp.uint32),
+        interpret=interpret,
+    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.fwd_w, pt.fwd_w_sh,
+      pt.inv_w, pt.inv_w_sh, u, w_ntt)
+
+
 # ---------------------------------------------------------------------------
 # fused key switch: digit reduce + fwd NTT + inner product + inv NTT — ONE kernel
 # ---------------------------------------------------------------------------

@@ -270,6 +270,64 @@ def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
     return Plaintext(data=m[0])
 
 
+def encrypt_batch(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
+                  pts: list) -> list:
+    """Encrypt B plaintexts through the batched pk·u kernel
+    (ntt_pallas.mul_by_ntt_operand_batch): all B forward transforms and
+    2B inverse transforms ride sublane-packed blocks.  Element i is a
+    fresh encryption of pts[i] (independent randomness via fold_in)."""
+    import jax.random as jrandom
+    p = ctx.params
+    tb = ctx.ntt_q
+    B = len(pts)
+    if not ctx.use_pallas or B == 1:
+        return [encrypt(ctx, jrandom.fold_in(key, i), pk, pt)
+                for i, pt in enumerate(pts)]
+    keys = jnp.stack([jrandom.fold_in(key, i) for i in range(B)])
+    # per-ct sampler keys — the same split(3) derivation as encrypt, so
+    # element i is bit-identical to encrypt(ctx, fold_in(key, i), pk, pts[i])
+    sub = jax.vmap(lambda kk: jax.random.split(kk, 3))(keys)
+    u = jax.vmap(lambda kk: sampling.ternary_rns(
+        kk, tb.p, 1, p.n, p.security.hamming_weight))(sub[:, 0])  # [B,k,1,n]
+    e1 = jax.vmap(lambda kk: sampling.gaussian_rns(
+        kk, tb.p, p.security.sigma, 1, p.n))(sub[:, 1])
+    e2 = jax.vmap(lambda kk: sampling.gaussian_rns(
+        kk, tb.p, p.security.sigma, 1, p.n))(sub[:, 2])
+    u_kbn = jnp.transpose(u[:, :, 0], (1, 0, 2))                  # [k, B, n]
+    pk_u = _ntt_pl.mul_by_ntt_operand_batch(u_kbn, pk.data, ctx.ntt_q_pl)
+    pk_u = jnp.transpose(pk_u, (2, 0, 1, 3))                      # [B,k,2,n]
+    p3 = _p3(tb)[None]
+    dm = jnp.stack([_scale_by_delta(ctx, pt) for pt in pts])      # [B,k,1,n]
+    c0 = mm.add_mod(mm.add_mod(pk_u[:, :, :1], e1, p3), dm, p3)
+    c1 = mm.add_mod(pk_u[:, :, 1:], e2, p3)
+    data = jnp.concatenate([c0, c1], axis=2)                      # [B,k,2,n]
+    fresh = _fresh_noise_budget(ctx)
+    return [Ciphertext(data=data[i], level=0, is_ntt_form=False,
+                       noise_budget=fresh) for i in range(B)]
+
+
+def decrypt_batch(ctx: SchemeContext, cts: list, sk: SecretKey) -> list:
+    """Decrypt B two-component ciphertexts through the batched c1·s kernel;
+    element i == decrypt(ctx, cts[i], sk)."""
+    level = cts[0].level if cts else 0
+    if (not ctx.use_pallas or len(cts) == 1
+            or any(c.level != level or c.num_components != 2 for c in cts)):
+        return [decrypt(ctx, ct, sk) for ct in cts]
+    k = ctx.k - level
+    data = jnp.stack([to_coeff(ctx, ct).data for ct in cts])      # [B,k,2,n]
+    c1_kbn = jnp.transpose(data[:, :, 1], (1, 0, 2))              # [k, B, n]
+    term = _ntt_pl.mul_by_ntt_operand_batch(
+        c1_kbn, sk.data[:k], _ntt_pl.slice_tables(ctx.ntt_q_pl, k))
+    tb = _tb(ctx, level)
+    acc = mm.add_mod(data[:, :, 0],
+                     jnp.transpose(term[:, 0], (1, 0, 2)),
+                     tb.p[None, :, None])                         # [B, k, n]
+    m = jax.vmap(lambda x: _rns.decrypt_scale(
+        x[:, None, :], ctx.dec_levels[level],
+        fermat=ctx.params.t == 65537))(acc)                       # [B, 1, n]
+    return [Plaintext(data=m[i, 0]) for i in range(len(cts))]
+
+
 def _phase(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> jax.Array:
     """[k, n] coefficient-domain c0 + c1*s + c2*s^2 + ... mod q."""
     ct = to_coeff(ctx, ct)

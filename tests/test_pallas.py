@@ -272,6 +272,41 @@ def test_multiply_batch_matches_single(monkeypatch):
                                  (2 * i * (i + 5)) % 65537]
 
 
+def test_encrypt_decrypt_batch_match_single(monkeypatch):
+    """bfv.encrypt_batch element i is bit-identical to
+    encrypt(fold_in(key, i)); decrypt_batch element i == decrypt."""
+    import functools as ft
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    for name in ("ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
+                 "mul_by_ntt_operand_batch"):
+        monkeypatch.setattr(npal, name,
+                            ft.partial(getattr(npal, name), interpret=True))
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=True, use_mxu=False)
+    key = jrandom.PRNGKey(5)
+    pk, sk = bfv.keygen(ctx, jrandom.fold_in(key, 0))
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    pts = [enc.encode([i + 1, 7 * i + 2]) for i in range(3)]
+    ekey = jrandom.fold_in(key, 1)
+    got = bfv.encrypt_batch(ctx, ekey, pk, pts)
+    for i in range(3):
+        want = bfv.encrypt(ctx, jrandom.fold_in(ekey, i), pk, pts[i])
+        np.testing.assert_array_equal(np.asarray(got[i].data),
+                                      np.asarray(want.data))
+    decs = bfv.decrypt_batch(ctx, got, sk)
+    for i in range(3):
+        want = bfv.decrypt(ctx, got[i], sk)
+        np.testing.assert_array_equal(np.asarray(decs[i].data),
+                                      np.asarray(want.data))
+        assert list(enc.decode(decs[i])[:2]) == [i + 1, 7 * i + 2]
+
+
 def test_fused_tensor_product_matches_composed():
     """The one-kernel ciphertext tensor product == fwd/pointwise/inv chain."""
     ps, tb, pt, _ = make(512, 3, 1)
