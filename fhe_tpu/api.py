@@ -232,6 +232,20 @@ class FHE:
             return self._scheme.rotate_rows(
                 self.ctx, ct, steps, gal_keys, keys_at_level=ct.level > 0)
 
+    def rotate_rows_batch(self, cts, steps: int, gal_keys: GaloisKeys):
+        """Rotate B independent ciphertexts by the same step count through
+        the batched fused key-switch kernel (bfv.rotate_rows_batch);
+        element i == rotate_rows(cts[i], steps)."""
+        fn = getattr(self._scheme, "rotate_rows_batch", None)
+        if fn is None:
+            return [self.rotate_rows(ct, steps, gal_keys) for ct in cts]
+        level = cts[0].level if cts else 0
+        if level:
+            gal_keys = self._gal_at(gal_keys, level)
+        with self.monitor.time("rotate_batch"):
+            return fn(self.ctx, cts, steps, gal_keys,
+                      keys_at_level=level > 0)
+
     def rotate_rows_hoisted(self, ct, steps_list, gal_keys: GaloisKeys):
         """Many rotations of ONE ciphertext sharing a single hoisted gadget
         decomposition (each step must have a direct Galois key: generate

@@ -831,6 +831,71 @@ def rotate_columns(ctx: SchemeContext, ct: Ciphertext,
     return apply_galois(ctx, ct, 2 * ctx.n - 1, gal_keys, bgv, keys_at_level)
 
 
+def apply_galois_batch(ctx: SchemeContext, cts: list, g: int,
+                       gal_keys: GaloisKeys,
+                       keys_at_level: bool = False) -> list:
+    """The SAME automorphism applied to B independent ciphertexts through
+    the batched fused key-switch kernel — the serving counterpart of
+    apply_galois (one key down-switch, one permutation table, B
+    sublane-packed key switches).  Element i == apply_galois(cts[i], g)."""
+    level = cts[0].level
+    if (not ctx.use_pallas or len(cts) == 1
+            or any(ct.level != level for ct in cts)):
+        return [apply_galois(ctx, ct, g, gal_keys, False, keys_at_level)
+                for ct in cts]
+    g = int(g)
+    data = jnp.stack([to_coeff(ctx, ct).data for ct in cts])   # [B, k, 2, n]
+    if g in ctx.galois_src:
+        src, neg = ctx.galois_src[g], ctx.galois_neg[g]
+    else:
+        src, neg = _context.galois_perm_tables(ctx.n, g)
+    tb = _tb(ctx, level)
+    p4 = tb.p[None, :, None, None]
+    gathered = jnp.take(data, src, axis=-1)
+    permuted = jnp.where(neg[None, None, None, :],
+                         mm.neg_mod(gathered, p4), gathered)
+    keys = (gal_keys.data[g] if keys_at_level
+            else _switch_keys_down(ctx, gal_keys.data[g], level, False))
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
+    d = mm.mul_mod_shoup(
+        permuted[:, :, 1], inv_qhat[None, :, None],
+        inv_qhat_sh[None, :, None], tb.p[None, :, None])       # [B, k-L, n]
+    delta = _ntt_pl.keyswitch_fused_batch(
+        jnp.transpose(d, (1, 0, 2)), jnp.transpose(keys, (1, 0, 2, 3)),
+        _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))     # [k, 2, B, n]
+    delta_b = jnp.transpose(delta, (2, 0, 1, 3))               # [B, k, 2, n]
+    c0 = mm.add_mod(permuted[:, :, :1], delta_b[:, :, :1], p4)
+    out = jnp.concatenate([c0, delta_b[:, :, 1:]], axis=2)
+    res = []
+    for i, ct in enumerate(cts):
+        nb = _b_of(ctx, level, _noise.add(
+            _noise.galois(_v_of(ctx, ct)),
+            _noise.keyswitch_add(ctx.params, level)))
+        res.append(Ciphertext(data=out[i], level=level, is_ntt_form=False,
+                              noise_budget=nb))
+    return res
+
+
+def rotate_rows_batch(ctx: SchemeContext, cts: list, steps: int,
+                      gal_keys: GaloisKeys,
+                      keys_at_level: bool = False) -> list:
+    """rotate_rows over B independent ciphertexts, each power-of-two hop
+    running one batched key switch (apply_galois_batch)."""
+    n = ctx.n
+    m = 2 * n
+    steps = steps % (n // 2)
+    bit = 1
+    while steps:
+        if steps & bit:
+            g = pow(3, bit, m)
+            if g not in gal_keys.data:
+                raise KeyError(f"no galois key for element {g} (step {bit})")
+            cts = apply_galois_batch(ctx, cts, g, gal_keys, keys_at_level)
+            steps ^= bit
+        bit <<= 1
+    return cts
+
+
 @functools.lru_cache(maxsize=None)
 def _eval_perm_host(n: int, g: int):
     """NTT-domain form of the automorphism a(x) -> a(x^g): a pure gather.

@@ -272,6 +272,37 @@ def test_multiply_batch_matches_single(monkeypatch):
                                  (2 * i * (i + 5)) % 65537]
 
 
+def test_rotate_batch_matches_single(monkeypatch):
+    """bfv.rotate_rows_batch element i == rotate_rows(cts[i]) bit-exact."""
+    import functools as ft
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    for name in ("ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
+                 "keyswitch_fused", "keyswitch_fused_batch"):
+        monkeypatch.setattr(npal, name,
+                            ft.partial(getattr(npal, name), interpret=True))
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=True, use_mxu=False)
+    key = jrandom.PRNGKey(9)
+    pk, sk = bfv.keygen(ctx, jrandom.fold_in(key, 0))
+    gal = bfv.galoiskey_gen(ctx, jrandom.fold_in(key, 1), sk)
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    cts = [bfv.encrypt(ctx, jrandom.fold_in(key, 10 + i), pk,
+                       enc.encode([i + 1, i + 2, i + 3])) for i in range(3)]
+    got = bfv.rotate_rows_batch(ctx, cts, 1, gal)
+    for i in range(3):
+        want = bfv.rotate_rows(ctx, cts[i], 1, gal)
+        np.testing.assert_array_equal(np.asarray(got[i].data),
+                                      np.asarray(want.data))
+        dec = enc.decode(bfv.decrypt(ctx, got[i], sk))
+        assert list(dec[:2]) == [i + 2, i + 3]
+
+
 def test_encrypt_decrypt_batch_match_single(monkeypatch):
     """bfv.encrypt_batch element i is bit-identical to
     encrypt(fold_in(key, i)); decrypt_batch element i == decrypt."""
