@@ -329,6 +329,60 @@ def multiply(ctx: SchemeContext, a: Ciphertext, b: Ciphertext,
                        keys_at_level=keys_at_level)
 
 
+def multiply_batch(ctx: SchemeContext, cts_a: list, cts_b: list,
+                   rlk: RelinKeys, keys_at_level: bool = False) -> list:
+    """B independent BGV multiply+relinearize ops through the batched fused
+    kernels (plain mod-q tensor product — no BEHZ rescale — then one
+    sublane-packed key-switch pass with t-corrected keys).  Element i is
+    bit-exact with multiply(ctx, cts_a[i], cts_b[i], rlk)."""
+    if len(cts_a) != len(cts_b) or not cts_a:
+        raise ValueError("multiply_batch needs equal-length non-empty lists")
+    level = cts_a[0].level
+    if (not ctx.use_pallas or ctx.use_mxu or len(cts_a) == 1
+            or any(ct.level != level or ct.is_ntt_form
+                   for ct in cts_a + cts_b)):
+        return [multiply(ctx, a, b, rlk, keys_at_level)
+                for a, b in zip(cts_a, cts_b)]
+    from ..ops import ntt_pallas as _ntt_pl
+    a_st = jnp.stack([a.data for a in cts_a])            # [B, k-L, 2, n]
+    b_st = jnp.stack([b.data for b in cts_b])
+    to_k = lambda t_: jnp.transpose(t_, (1, 2, 0, 3))
+    from_k = lambda t_: jnp.transpose(t_, (2, 0, 1, 3))
+    tens = _ntt_pl.tensor_product_batch(
+        to_k(a_st), to_k(b_st),
+        _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))  # [k, 3, B, n]
+    out3 = from_k(tens)                                   # [B, k-L, 3, n]
+    keys = (rlk.data if keys_at_level
+            else _bfv._switch_keys_down(ctx, rlk.data, level, bgv=True))
+    tb = _tb(ctx, level)
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
+    d = mm.mul_mod_shoup(
+        out3[:, :, 2], inv_qhat[None, :, None], inv_qhat_sh[None, :, None],
+        tb.p[None, :, None])
+    delta = _ntt_pl.keyswitch_fused_batch(
+        jnp.transpose(d, (1, 0, 2)), jnp.transpose(keys, (1, 0, 2, 3)),
+        _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
+    data2 = mm.add_mod(out3[:, :, :2], from_k(delta),
+                       tb.p[None, :, None, None])
+    outs = []
+    for i, (a, b) in enumerate(zip(cts_a, cts_b)):
+        # same bookkeeping chain as multiply_no_relin -> relinearize
+        v = _noise.bgv_multiply(
+            ctx.params,
+            _noise.bgv_variance(ctx.params, level, a.noise_budget),
+            _noise.bgv_variance(ctx.params, level, b.noise_budget))
+        b3 = jnp.maximum(0.0, _noise.bgv_budget(ctx.params, level, v))
+        v3 = _noise.bfv_variance(ctx.params, level, b3)
+        bud = jnp.maximum(0.0, _noise.bfv_budget(
+            ctx.params, level,
+            _noise.add(v3, _noise.keyswitch_add(ctx.params, level))))
+        outs.append(Ciphertext(
+            data=data2[i], level=level, is_ntt_form=False,
+            scale_t=_scale_product(a.scale_t, b.scale_t, ctx.params.t),
+            noise_budget=bud))
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # rotations (scheme-agnostic given BGV Galois keys)
 # ---------------------------------------------------------------------------

@@ -271,6 +271,22 @@ def test_multiply_batch_matches_single(monkeypatch):
         assert list(dec[:2]) == [((i + 1) * (3 * i + 2)) % 65537,
                                  (2 * i * (i + 5)) % 65537]
 
+    # BGV batched multiply: same contract, t-corrected keys
+    from fhe_tpu.scheme import bgv
+    bpk, bsk = bgv.keygen(ctx, jrandom.fold_in(key, 2))
+    brlk = bgv.relinkey_gen(ctx, jrandom.fold_in(key, 3), bsk)
+    bas = [bgv.encrypt(ctx, jrandom.fold_in(key, 30 + i), bpk,
+                       enc.encode([i + 2, i])) for i in range(2)]
+    bbs = [bgv.encrypt(ctx, jrandom.fold_in(key, 40 + i), bpk,
+                       enc.encode([i + 4, 2 * i + 1])) for i in range(2)]
+    bgot = bgv.multiply_batch(ctx, bas, bbs, brlk)
+    for i in range(2):
+        bwant = bgv.multiply(ctx, bas[i], bbs[i], brlk)
+        np.testing.assert_array_equal(np.asarray(bgot[i].data),
+                                      np.asarray(bwant.data))
+        bdec = enc.decode(bgv.decrypt(ctx, bgot[i], bsk))
+        assert list(bdec[:2]) == [(i + 2) * (i + 4), i * (2 * i + 1)]
+
 
 def test_rotate_batch_matches_single(monkeypatch):
     """bfv.rotate_rows_batch element i == rotate_rows(cts[i]) bit-exact."""
