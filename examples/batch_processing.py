@@ -99,6 +99,27 @@ def main() -> int:
     ok &= sum_ok
     print(f"  {'OK: every slot equals 55' if sum_ok else 'FAIL: slot mismatch'}\n")
 
+    # -- ciphertext-level batching (serving throughput) --------------------
+    # Beyond SIMD slots, whole INDEPENDENT ciphertext operations batch too:
+    # the *_batch APIs pack B ciphertexts into each fused kernel's vector
+    # rows (docs/API_REFERENCE.md "Homomorphic operations").
+    B = 4
+    print(f"Batched pipeline over {B} independent ciphertext pairs...")
+    pts_x = [fhe.encode(np.full(slot_count, i + 1, dtype=np.int64))
+             for i in range(B)]
+    pts_y = [fhe.encode(np.full(slot_count, i + 2, dtype=np.int64))
+             for i in range(B)]
+    xs = fhe.encrypt_batch(pts_x, pk)
+    ys = fhe.encrypt_batch(pts_y, pk)
+    prods = fhe.multiply_batch(xs, ys, rlk)
+    decs = fhe.decrypt_batch(prods, sk)
+    batch_ok = all(
+        int(fhe.decode(decs[i])[0]) == (i + 1) * (i + 2) for i in range(B))
+    ok &= batch_ok
+    print(f"  {'OK' if batch_ok else 'FAIL'}: batched encrypt -> multiply "
+          f"-> decrypt ({B} pairs, products "
+          f"{[int(fhe.decode(d)[0]) for d in decs]})\n")
+
     print("Summary:")
     print(f"  Slots per ciphertext: {slot_count}")
     print(f"  Encryption throughput: {slot_count / enc_ms * 1e3:,.0f} values/sec")
