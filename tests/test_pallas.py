@@ -271,6 +271,15 @@ def test_multiply_batch_matches_single(monkeypatch):
         assert list(dec[:2]) == [((i + 1) * (3 * i + 2)) % 65537,
                                  (2 * i * (i + 5)) % 65537]
 
+    # leveled batched multiply (level-1 sliced tables, down-switched keys)
+    lv_a = [bfv.mod_switch_to_next(ctx, ct) for ct in cts_a]
+    lv_b = [bfv.mod_switch_to_next(ctx, ct) for ct in cts_b]
+    got_lv = bfv.multiply_batch(ctx, lv_a, lv_b, rlk)
+    for i in range(3):
+        want_lv = bfv.multiply(ctx, lv_a[i], lv_b[i], rlk)
+        np.testing.assert_array_equal(np.asarray(got_lv[i].data),
+                                      np.asarray(want_lv.data))
+
     # BGV batched multiply: same contract, t-corrected keys
     from fhe_tpu.scheme import bgv
     bpk, bsk = bgv.keygen(ctx, jrandom.fold_in(key, 2))
