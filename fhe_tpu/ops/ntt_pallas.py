@@ -305,10 +305,37 @@ def _specs(k, batch, bt, n, s):
 
 
 def _pick_bt(batch: int, block_batch: int) -> int:
-    bt = min(block_batch, batch)
-    while batch % bt:
-        bt -= 1
-    return bt
+    """Batch-tile size: must divide `batch`, and (Mosaic block rule) the
+    block's second-to-last dim must be divisible by 8 OR equal the array
+    dim — so bt ∈ {batch} ∪ {multiples of 8}.  Falls back to the whole
+    batch in one block when no smaller tile qualifies (callers with
+    VMEM-bounded kernels pad such batches first — _pad_batch)."""
+    for bt in range(min(block_batch, batch), 0, -1):
+        if batch % bt == 0 and (bt == batch or bt % 8 == 0):
+            return bt
+    return batch
+
+
+def _pad_batch(x: jax.Array, axis: int, target: int) -> jax.Array:
+    """Zero-pad the batch axis to `target` rows (zero polynomials are valid
+    residues everywhere, so padded lanes compute garbage-free)."""
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+def _padded_batch_target(batch: int, block_batch: int) -> int | None:
+    """If no VMEM-safe tile exists (batch > the tile bound with no divisor
+    that is a multiple of 8), the next multiple of 8 to pad to; else None.
+    The effective tile bound is clamped to >= 8: for batch > 8 every legal
+    tile is a multiple of 8 anyway (Mosaic block rule)."""
+    eff = max(block_batch, 8)
+    if _pick_bt(batch, eff) <= eff:
+        return None
+    return -(-batch // 8) * 8
 
 
 @functools.partial(jax.jit,
@@ -459,7 +486,13 @@ def mul_by_ntt_operand_batch(u: jax.Array, w_ntt: jax.Array,
     k, batch, n = u.shape
     assert w_ntt.shape[0] == k and w_ntt.shape[2] == n
     c = w_ntt.shape[1]
-    bt = _pick_bt(batch, block_batch)
+    tgt = _padded_batch_target(batch, block_batch)
+    if tgt:
+        out = mul_by_ntt_operand_batch(
+            _pad_batch(u, 1, tgt), w_ntt, pt,
+            interpret=interpret, block_batch=block_batch, lazy=lazy)
+        return out[:, :, :batch]
+    bt = _pick_bt(batch, max(block_batch, 8))
     s = pt.fwd_w.shape[1]
     grid = (k, pl.cdiv(batch, bt))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -653,10 +686,22 @@ def tensor_product_batch(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
     """Batched fused tensor product: x, y are [k, 2, B, n] stacks of B
     independent ciphertext halves (component-major so batch rows sit in
     the sublane dimension); returns [k, 3, B, n].  Row b of the output is
-    bit-exact with tensor_product(x[:, :, b], y[:, :, b])."""
+    bit-exact with tensor_product(x[:, :, b], y[:, :, b]).
+
+    block_batch=8 is the VMEM-validated tile at n=8192 (a 16-ct tile's
+    64-row sweeps exceed the 16 MB scoped budget by ~0.3 MB — measured);
+    larger B simply runs more grid steps at the same per-op cost.
+    Batches with no multiple-of-8 tile (e.g. B=12) are zero-padded up to
+    one so the whole-batch VMEM blow-up can't happen."""
     k, two, batch, n = x.shape
     assert two == 2 and y.shape == x.shape
-    bt = _pick_bt(batch, block_batch)
+    tgt = _padded_batch_target(batch, block_batch)
+    if tgt:
+        out = tensor_product_batch(
+            _pad_batch(x, 2, tgt), _pad_batch(y, 2, tgt), pt,
+            interpret=interpret, block_batch=block_batch, lazy=lazy)
+        return out[:, :, :batch]
+    bt = _pick_bt(batch, max(block_batch, 8))
     s = pt.fwd_w.shape[1]
     grid = (k, pl.cdiv(batch, bt))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -727,7 +772,13 @@ def keyswitch_fused_batch(d: jax.Array, keys_t: jax.Array,
     k, kd, two, n = keys_t.shape
     assert two == 2 and d.shape[0] == kd and d.shape[2] == n
     batch = d.shape[1]
-    bt = _pick_bt(batch, block_batch)
+    tgt = _padded_batch_target(batch, block_batch)
+    if tgt:
+        out = keyswitch_fused_batch(
+            _pad_batch(d, 1, tgt), keys_t,
+            pt, interpret=interpret, block_batch=block_batch, lazy=lazy)
+        return out[:, :, :batch]
+    bt = _pick_bt(batch, max(block_batch, 8))
     s = pt.fwd_w.shape[1]
     grid = (k, pl.cdiv(batch, bt))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

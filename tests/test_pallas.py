@@ -57,6 +57,25 @@ def test_polymul_matches_jnp():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pick_bt_respects_mosaic_block_rule():
+    """Batch tiles must divide the batch AND satisfy Mosaic's block rule
+    (second-to-last dim ≡ 0 mod 8, or equal to the array dim); whenever
+    the only option is an oversized whole-batch block, the padding target
+    must produce a tile within the requested bound."""
+    for batch in range(1, 70):
+        for bb in (4, 8, 16):
+            bt = npal._pick_bt(batch, bb)
+            assert batch % bt == 0
+            assert bt == batch or bt % 8 == 0, (batch, bb, bt)
+            # wrapper logic: pad to tgt if needed, then tile with the
+            # clamped bound — the resulting tile must stay within it
+            tgt = npal._padded_batch_target(batch, bb)
+            eff_batch = tgt if tgt is not None else batch
+            if tgt is not None:
+                assert tgt % 8 == 0 and tgt >= batch
+            assert npal._pick_bt(eff_batch, max(bb, 8)) <= max(bb, 8)
+
+
 def test_small_n_rejected():
     with pytest.raises(ValueError, match="n >= 256"):
         npal.build_pallas_tables(128, primes.find_ntt_primes(128, 1))
