@@ -198,6 +198,40 @@ def main():
     assert list(got_b8[:4]) == [15, 60, 135, 240], got_b8[:4]
     mul8_s = bench_chain(mul_batch_step, batch8, iters=45) / 8.0
 
+    # Galois rotation (reference decl include/fhe.cuh:113-116).  Three
+    # regimes: one power-of-two hop (automorphism + fused key switch),
+    # hoisted (8 rotations of ONE ct sharing a single gadget decomposition,
+    # per-rotation cost), and batched (8 independent cts through the
+    # sublane-packed fused key-switch kernel, per-ct cost).
+    gk = fhe.galoiskey_gen(sk)
+    got_r = fhe.decode(fhe.decrypt(fhe.rotate_rows(ct1, 1, gk), sk))
+    assert list(got_r[:3]) == [10, 15, 20], got_r[:4]
+    rot_s = bench_chain(
+        lambda a: bfv.rotate_rows(fhe.ctx, ct1.replace(data=a), 1, gk).data,
+        ct1.data, iters=85)
+
+    hoist_elems = tuple(pow(3, s, 2 * n) for s in range(1, 9))
+    gk_h = fhe.galoiskey_gen(sk, elements=hoist_elems)
+    p3h = fhe.ctx.ntt_q.p[:, None, None].astype(jnp.uint64)
+
+    def rot_hoist_step(a):
+        outs = bfv.apply_galois_hoisted(
+            fhe.ctx, ct1.replace(data=a), hoist_elems, gk_h)
+        # fold all 8 outputs so XLA cannot dead-code-eliminate any of them;
+        # the mod keeps the carried value in residue range for the next link
+        acc = jnp.stack([o.data for o in outs]).astype(jnp.uint64).sum(0)
+        return (acc % p3h).astype(jnp.uint32)
+
+    rot_hoist_s = bench_chain(rot_hoist_step, ct1.data, iters=45) / 8.0
+
+    def rot_batch_step(a_st):
+        outs = bfv.rotate_rows_batch(
+            fhe.ctx, [ct1.replace(data=a_st[i]) for i in range(8)], 1, gk)
+        return jnp.stack([o.data for o in outs])
+
+    rotB_s = bench_chain(rot_batch_step, jnp.stack([ct1.data] * 8),
+                         iters=45) / 8.0
+
     # encryption / decryption / keygen / add, all chained in-jit with the
     # same two-point slope (see bench_chain).
     import jax.lax as lax
@@ -376,6 +410,9 @@ def main():
             "decrypt_ms_batched": round(decB_s * 1e3, 4),
             "hom_add_ms": round(add_s * 1e3, 4),
             "hom_add_vs_baseline": round(0.1 / (add_s * 1e3), 3),
+            "rotate_rows_ms": round(rot_s * 1e3, 4),
+            "rotate_hoisted_ms_per_rot": round(rot_hoist_s * 1e3, 4),
+            "rotate_rows_ms_batched": round(rotB_s * 1e3, 4),
             "keygen_ms": round(kg_s * 1e3, 4),
             "keygen_vs_baseline": round(100.0 / (kg_s * 1e3), 3),
             "simd_values_per_s": round(slot_count / encB_s, 1),
