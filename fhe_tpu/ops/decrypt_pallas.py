@@ -1,0 +1,159 @@
+"""Fully-fused BFV decrypt: phase + gamma-trick scaling in ONE kernel.
+
+VERDICT-r2 weak #4: decrypt was the weakest headline op because the exact
+RNS scaling (``rns.decrypt_scale``) ran as separate XLA ops after the fused
+c1*s kernel — every [k, B, n] intermediate took an HBM round trip.  Here the
+whole of ``decrypt`` (reference ``src/fhe.cu:171-185``, whose final kernel
+never existed) is one ``pallas_call``:
+
+    grid (batch_tiles, k) — the prime axis is the FAST axis, so for each
+    batch tile the k grid steps run back-to-back on one core while two VMEM
+    scratch accumulators carry the t-lane and gamma-lane partial sums of the
+    gamma trick across primes.  Step i:
+
+      phase_i = c0_i + INTT_i(NTT_i(c1_i) * s_i)          (per-prime, VMEM)
+      z_i     = [phase_i * gamma*t*(q/q_i)^-1]_{q_i}
+      acc_t  += [z_i * (q/q_i)]_t ;  acc_g += [z_i * (q/q_i)]_gamma
+
+    and the LAST prime step finishes the correction
+      m = (s_t - e_hat) * gamma^-1 mod t
+    and writes the [bt, n] plaintext block — the only HBM write.
+
+Bit-exact with the composed path (scheme.bfv.decrypt -> rns.decrypt_scale):
+tests/test_pallas.py::test_decrypt_fused_*.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import modmath as mm
+from .ntt_pallas import (PallasNTTTables, _fwd_sweep, _fwd_sweep_lazy,
+                         _inv_sweep, _inv_sweep_lazy, _pick_bt,
+                         _wget_single)
+from .rns import DecryptConsts
+
+_U = np.uint32
+
+
+def _decrypt_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref,
+                    gt_ref, gtsh_ref, pt_ref, ptsh_ref, pg_ref,
+                    sc_ref,
+                    fw_ref, fwsh_ref, iw_ref, iwsh_ref,
+                    c0_ref, c1_ref, s_ref, o_ref,
+                    acc_t, acc_g, *, k, fermat, lazy):
+    n = c1_ref.shape[-1]
+    i = pl.program_id(1)               # prime index: the FAST grid axis
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
+    inv = _inv_sweep_lazy if lazy else _inv_sweep
+    t = sc_ref[0, 0]
+    gamma = sc_ref[0, 1]
+    gamma_mu = sc_ref[0, 2]
+
+    # ---- per-prime phase: c0 + INTT(NTT(c1) . s) ----
+    f = fwd(c1_ref[0], _wget_single(fw_ref[0], fwsh_ref[0]), p, n)
+    prod = mm.mul_mod_barrett(f, s_ref[0, 0][None], p, mu)
+    term = inv(prod, _wget_single(iw_ref[0], iwsh_ref[0]),
+               ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)
+    phase = mm.add_mod(c0_ref[0], term, p)             # [bt, n]
+
+    # ---- gamma-trick lanes for this prime ----
+    z = mm.mul_mod_shoup(phase, gt_ref[i, 0], gtsh_ref[i, 0], p)
+    if fermat:
+        terms_t = mm.mul_mod_fermat16(mm.reduce_mod_fermat16(z), pt_ref[i, 0])
+    else:
+        terms_t = mm.mul_mod_shoup(z, pt_ref[i, 0], ptsh_ref[i, 0], t)
+    terms_g = mm.mul_mod_barrett(
+        mm.barrett_reduce_u32(z, gamma, gamma_mu), pg_ref[i, 0], gamma,
+        gamma_mu)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_t[...] = terms_t
+        acc_g[...] = terms_g
+
+    @pl.when(i != 0)
+    def _accum():
+        acc_t[...] = mm.add_mod(acc_t[...], terms_t, t)
+        acc_g[...] = mm.add_mod(acc_g[...], terms_g, gamma)
+
+    # ---- epilogue on the last prime: centered correction, write m ----
+    @pl.when(i == k - 1)
+    def _finish():
+        neg_q_t = sc_ref[0, 3]
+        neg_q_t_sh = sc_ref[0, 4]
+        neg_q_g = sc_ref[0, 5]
+        inv_g_t = sc_ref[0, 6]
+        inv_g_t_sh = sc_ref[0, 7]
+        gamma_mod_t = sc_ref[0, 8]
+        one_sh_t = sc_ref[0, 9]
+        if fermat:
+            scale_t = lambda a, w, ws: mm.mul_mod_fermat16(a, w)
+            red_t = mm.reduce_mod_fermat16
+        else:
+            scale_t = lambda a, w, ws: mm.mul_mod_shoup(a, w, ws, t)
+            red_t = lambda a: mm.reduce_mod_shoup(a, t, one_sh_t)
+        s_t = scale_t(acc_t[...], neg_q_t, neg_q_t_sh)
+        s_g = mm.mul_mod_barrett(acc_g[...], neg_q_g, gamma, gamma_mu)
+        e_pos = s_g <= (gamma >> 1)
+        e_mod_t = jnp.where(e_pos, red_t(s_g),
+                            mm.sub_mod(red_t(s_g), gamma_mod_t, t))
+        num = mm.sub_mod(s_t, e_mod_t, t)
+        o_ref[...] = scale_t(num, inv_g_t, inv_g_t_sh)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fermat", "interpret", "block_batch",
+                                    "lazy"))
+def decrypt_fused(c0: jax.Array, c1: jax.Array, s_ntt: jax.Array,
+                  pt: PallasNTTTables, dc: DecryptConsts,
+                  fermat: bool = False, interpret: bool = False,
+                  block_batch: int = 8, lazy: bool = True) -> jax.Array:
+    """m = round(t/q * [c0 + c1*s]_q) mod t, entirely inside one kernel.
+
+    c0, c1: [k, B, n] coefficient-domain components of B ciphertexts
+    s_ntt:  [k, 1, n] NTT-form secret key
+    Returns [B, n] uint32 plaintext coefficients mod t; column b is
+    bit-exact with rns.decrypt_scale(phase(ct_b))."""
+    k, batch, n = c0.shape
+    assert c1.shape == c0.shape and s_ntt.shape == (k, 1, n)
+    bt = _pick_bt(batch, max(block_batch, 8)) if batch > 1 else 1
+    s_stages = pt.fwd_w.shape[1]
+    grid = (pl.cdiv(batch, bt), k)     # prime axis fastest: accumulators
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table = pl.BlockSpec((1, s_stages, n), lambda b, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    data = pl.BlockSpec((1, bt, n), lambda b, i: (i, b, 0),
+                        memory_space=pltpu.VMEM)
+    d_s = pl.BlockSpec((1, 1, n), lambda b, i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((bt, n), lambda b, i: (b, 0),
+                        memory_space=pltpu.VMEM)
+    scalars = jnp.stack([
+        dc.t, dc.gamma, dc.gamma_mu, dc.neg_inv_q_t, dc.neg_inv_q_t_shoup,
+        dc.neg_inv_q_g, dc.inv_gamma_t, dc.inv_gamma_t_shoup, dc.gamma_mod_t,
+        dc.one_shoup_t]).astype(jnp.uint32)[None]      # [1, 10] SMEM
+    return pl.pallas_call(
+        functools.partial(_decrypt_kernel, k=k, fermat=fermat, lazy=lazy),
+        grid=grid,
+        in_specs=[smem] * 10 + [table] * 4 + [data, data, d_s],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((batch, n), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((bt, n), jnp.uint32),
+                        pltpu.VMEM((bt, n), jnp.uint32)],
+        interpret=interpret,
+    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup,
+      dc.gt_inv_phat[:, None], dc.gt_inv_phat_shoup[:, None],
+      dc.phat_mod_t[:, None], dc.phat_shoup_t[:, None],
+      dc.phat_mod_g[:, None],
+      scalars,
+      pt.fwd_w, pt.fwd_w_sh, pt.inv_w, pt.inv_w_sh,
+      c0, c1, s_ntt)

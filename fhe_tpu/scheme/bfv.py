@@ -263,7 +263,20 @@ def encrypt(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
 
 def decrypt(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> Plaintext:
     """m = round(t/q * [ct(s)]_q) mod t via the exact gamma-trick scaling
-    (the reference's decrypt called an undefined kernel, src/fhe.cu:181-184)."""
+    (the reference's decrypt called an undefined kernel, src/fhe.cu:181-184).
+
+    Pallas contexts run the whole thing — c1*s transforms AND the gamma
+    trick — in ONE kernel (ops/decrypt_pallas.py); >2-component ciphertexts
+    and other engines compose phase + rns.decrypt_scale.  Bit-exact."""
+    if ctx.use_pallas and ct.num_components == 2:
+        from ..ops import decrypt_pallas as _dec_pl
+        ct = to_coeff(ctx, ct)
+        k = ctx.k - ct.level
+        m = _dec_pl.decrypt_fused(
+            ct.data[:, 0:1], ct.data[:, 1:2], sk.data[:k],
+            _ntt_pl.slice_tables(ctx.ntt_q_pl, k), ctx.dec_levels[ct.level],
+            fermat=ctx.params.t == 65537)
+        return Plaintext(data=m[0])
     x = _phase(ctx, ct, sk)
     m = _rns.decrypt_scale(x[:, None, :], ctx.dec_levels[ct.level],
                            fermat=ctx.params.t == 65537)
@@ -307,25 +320,22 @@ def encrypt_batch(ctx: SchemeContext, key: jax.Array, pk: PublicKey,
 
 
 def decrypt_batch(ctx: SchemeContext, cts: list, sk: SecretKey) -> list:
-    """Decrypt B two-component ciphertexts through the batched c1·s kernel;
-    element i == decrypt(ctx, cts[i], sk)."""
+    """Decrypt B two-component ciphertexts through the fully-fused batched
+    decrypt kernel (ops/decrypt_pallas.py — phase AND gamma-trick scaling in
+    one pass, batch rows in the sublanes); element i == decrypt(cts[i])."""
     level = cts[0].level if cts else 0
     if (not ctx.use_pallas or len(cts) == 1
             or any(c.level != level or c.num_components != 2 for c in cts)):
         return [decrypt(ctx, ct, sk) for ct in cts]
+    from ..ops import decrypt_pallas as _dec_pl
     k = ctx.k - level
     data = jnp.stack([to_coeff(ctx, ct).data for ct in cts])      # [B,k,2,n]
-    c1_kbn = jnp.transpose(data[:, :, 1], (1, 0, 2))              # [k, B, n]
-    term = _ntt_pl.mul_by_ntt_operand_batch(
-        c1_kbn, sk.data[:k], _ntt_pl.slice_tables(ctx.ntt_q_pl, k))
-    tb = _tb(ctx, level)
-    acc = mm.add_mod(data[:, :, 0],
-                     jnp.transpose(term[:, 0], (1, 0, 2)),
-                     tb.p[None, :, None])                         # [B, k, n]
-    m = jax.vmap(lambda x: _rns.decrypt_scale(
-        x[:, None, :], ctx.dec_levels[level],
-        fermat=ctx.params.t == 65537))(acc)                       # [B, 1, n]
-    return [Plaintext(data=m[i, 0]) for i in range(len(cts))]
+    c0 = jnp.transpose(data[:, :, 0], (1, 0, 2))                  # [k, B, n]
+    c1 = jnp.transpose(data[:, :, 1], (1, 0, 2))
+    m = _dec_pl.decrypt_fused(
+        c0, c1, sk.data[:k], _ntt_pl.slice_tables(ctx.ntt_q_pl, k),
+        ctx.dec_levels[level], fermat=ctx.params.t == 65537)      # [B, n]
+    return [Plaintext(data=m[i]) for i in range(len(cts))]
 
 
 def _phase(ctx: SchemeContext, ct: Ciphertext, sk: SecretKey) -> jax.Array:
@@ -654,8 +664,9 @@ def _keyswitch_delta(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
     forward transforms, inner product, inverse transform all stay in VMEM —
     ntt_pallas.keyswitch_fused); other engines compose the same ops through
     HBM.  Bit-exact either way (tests/test_pallas.py).  The hoisted-rotation
-    path (hoisted_galois) keeps the composed form: it shares one digit
-    decomposition across many automorphisms, which a per-call fusion cannot."""
+    path (apply_galois_hoisted) shares one digit decomposition across many
+    automorphisms and runs the per-element inner products + inverse
+    transforms through the batched ks_inner_batch kernel instead."""
     if ctx.use_pallas:
         tb = _tb(ctx, level)
         inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
@@ -939,11 +950,34 @@ def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
     nb = _b_of(ctx, level,
                _noise.add(_noise.galois(_v_of(ctx, ct)),
                           _noise.keyswitch_add(ctx.params, level)))
+    keys_per_g = [
+        gal_keys.data[g] if keys_at_level
+        else _switch_keys_down(ctx, gal_keys.data[g], level, bgv)
+        for g in elements]
+    perms = [jnp.asarray(_eval_perm_host(ctx.n, int(g))) for g in elements]
+    if ctx.use_pallas and len(elements) > 1:
+        # batched fast path: all per-element inner products + inverse
+        # transforms in one fused kernel pass (ntt_pallas.ks_inner_batch);
+        # the shared d_ntt only pays the per-element NTT-domain gather
+        dg = jnp.stack([jnp.take(d_ntt, pm, axis=-1) for pm in perms],
+                       axis=2)                         # [k, kd, B, n]
+        keys_st = jnp.stack(
+            [jnp.transpose(kk, (1, 0, 2, 3)) for kk in keys_per_g],
+            axis=2)                                    # [k, kd, B, 2, n]
+        delta_b = _ntt_pl.ks_inner_batch(
+            dg, keys_st, _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
+        outs = []
+        for b, g in enumerate(elements):
+            delta = delta_b[:, :, b]                   # [k, 2, n]
+            c0 = mm.add_mod(
+                _apply_galois_coeff(ctx, ct.data[:, :1], g),
+                delta[:, :1], p)
+            outs.append(ct.replace(
+                data=jnp.concatenate([c0, delta[:, 1:]], axis=1),
+                noise_budget=nb))
+        return outs
     outs = []
-    for g in elements:
-        keys = (gal_keys.data[g] if keys_at_level
-                else _switch_keys_down(ctx, gal_keys.data[g], level, bgv))
-        perm = jnp.asarray(_eval_perm_host(ctx.n, int(g)))
+    for g, keys, perm in zip(elements, keys_per_g, perms):
         dg = jnp.take(d_ntt, perm, axis=-1)            # NTT-domain phi_g
         acc0, acc1 = _ks_inner_from_digits(ctx, dg, keys, level)
         delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)

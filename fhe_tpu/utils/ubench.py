@@ -1,0 +1,71 @@
+"""Microbenchmark kernels: compute-roofline probes that stay in VMEM.
+
+The r2 modmul roofline chained a 25 MB tensor through a fori_loop of XLA
+fusions — every link paid a full HBM read+write, so the "measured" rate was
+bounded by (and its artifact numbers occasionally exceeded, i.e. mismeasured)
+HBM bandwidth, not the VPU.  The NTT inner loops this number stands for run
+in VMEM (ops/ntt_pallas.py), so the honest probe must too: one pallas_call
+whose kernel applies `reps` back-to-back Shoup modmuls to a VMEM-resident
+block.  Slope over `reps` cancels the launch cost exactly and no HBM traffic
+scales with reps.
+
+Bit-exact with the composed jnp chain (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import modmath as mm
+
+
+def _chain_kernel(sc_ref, x_ref, o_ref, *, reps, variant):
+    w = sc_ref[0, 0]
+    ws = sc_ref[0, 1]
+    p = sc_ref[0, 2]
+
+    if variant == "exact":
+        step = lambda v: mm.mul_mod_shoup(v, w, ws, p)
+    elif variant == "lazy":
+        # Harvey lazy form: output in [0, 2p), valid input for the next link
+        # (the Shoup quotient bound holds for ANY u32 operand)
+        step = lambda v: mm.mul_mod_shoup_lazy(v, w, ws, p)
+    elif variant == "barrett":
+        mu = sc_ref[0, 3]
+        step = lambda v: mm.mul_mod_barrett(v, w, p, mu)
+    else:  # pragma: no cover
+        raise ValueError(variant)
+    o_ref[...] = jax.lax.fori_loop(
+        0, reps, lambda i, v: step(v), x_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("reps", "variant", "interpret",
+                                             "block_rows"))
+def modmul_chain(x: jax.Array, w, w_sh, p, mu, reps: int,
+                 variant: str = "exact", interpret: bool = False,
+                 block_rows: int = 16) -> jax.Array:
+    """`reps` data-dependent modmuls by the constant (w, w_sh) on a
+    [rows, n] uint32 block, entirely in VMEM.  Returns the chained result
+    (bit-exact with the composed jnp chain for each variant)."""
+    rows, n = x.shape
+    bt = min(block_rows, rows)
+    assert rows % bt == 0
+    scalars = jnp.stack([jnp.uint32(w), jnp.uint32(w_sh), jnp.uint32(p),
+                         jnp.uint32(mu)])[None]          # [1, 4] SMEM
+    return pl.pallas_call(
+        functools.partial(_chain_kernel, reps=reps, variant=variant),
+        grid=(rows // bt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((bt, n), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bt, n), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.uint32),
+        interpret=interpret,
+    )(scalars, x)

@@ -12,8 +12,19 @@ import jax.numpy as jnp
 from fhe_tpu import primes
 from fhe_tpu.ops import ntt as _ntt
 from fhe_tpu.ops import ntt_pallas as npal
+from fhe_tpu.ops import decrypt_pallas as dpal
 
 RNG = np.random.default_rng(31)
+
+
+def _patch_interpret(monkeypatch, names):
+    """Force interpreter mode on the listed pallas entry points (CPU CI)."""
+    import functools as ft
+
+    for name in names:
+        mod = dpal if name == "decrypt_fused" else npal
+        monkeypatch.setattr(mod, name,
+                            ft.partial(getattr(mod, name), interpret=True))
 
 
 def make(n, k, batch):
@@ -108,10 +119,9 @@ def test_scheme_pallas_dispatch_interpreted(monkeypatch):
     from fhe_tpu.scheme import bfv
     from fhe_tpu.scheme.context import make_context
 
-    for name in ("ntt_forward", "ntt_inverse", "tensor_product",
-                 "mul_by_ntt_operand", "keyswitch_fused"):
-        monkeypatch.setattr(npal, name,
-                            ft.partial(getattr(npal, name), interpret=True))
+    _patch_interpret(monkeypatch, (
+        "ntt_forward", "ntt_inverse", "tensor_product",
+        "mul_by_ntt_operand", "keyswitch_fused", "decrypt_fused"))
 
     params = make_scheme_params(SecurityParams(
         poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
@@ -263,12 +273,10 @@ def test_multiply_batch_matches_single(monkeypatch):
     from fhe_tpu.scheme import bfv
     from fhe_tpu.scheme.context import make_context
 
-    for name in ("ntt_forward", "ntt_inverse",
-                 "tensor_product", "tensor_product_batch",
-                 "keyswitch_fused", "keyswitch_fused_batch",
-                 "mul_by_ntt_operand"):
-        monkeypatch.setattr(npal, name,
-                            ft.partial(getattr(npal, name), interpret=True))
+    _patch_interpret(monkeypatch, (
+        "ntt_forward", "ntt_inverse", "tensor_product",
+        "tensor_product_batch", "keyswitch_fused", "keyswitch_fused_batch",
+        "mul_by_ntt_operand", "decrypt_fused"))
     params = make_scheme_params(SecurityParams(
         poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
     ctx = make_context(params, use_pallas=True, use_mxu=False)
@@ -324,10 +332,9 @@ def test_rotate_batch_matches_single(monkeypatch):
     from fhe_tpu.scheme import bfv
     from fhe_tpu.scheme.context import make_context
 
-    for name in ("ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
-                 "keyswitch_fused", "keyswitch_fused_batch"):
-        monkeypatch.setattr(npal, name,
-                            ft.partial(getattr(npal, name), interpret=True))
+    _patch_interpret(monkeypatch, (
+        "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
+        "keyswitch_fused", "keyswitch_fused_batch", "decrypt_fused"))
     params = make_scheme_params(SecurityParams(
         poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
     ctx = make_context(params, use_pallas=True, use_mxu=False)
@@ -356,10 +363,9 @@ def test_encrypt_decrypt_batch_match_single(monkeypatch):
     from fhe_tpu.scheme import bfv
     from fhe_tpu.scheme.context import make_context
 
-    for name in ("ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
-                 "mul_by_ntt_operand_batch"):
-        monkeypatch.setattr(npal, name,
-                            ft.partial(getattr(npal, name), interpret=True))
+    _patch_interpret(monkeypatch, (
+        "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
+        "mul_by_ntt_operand_batch", "decrypt_fused"))
     params = make_scheme_params(SecurityParams(
         poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
     ctx = make_context(params, use_pallas=True, use_mxu=False)
@@ -401,3 +407,130 @@ def test_fused_tensor_product_matches_composed():
     want = np.asarray(jax.jit(_ntt.ntt_inverse)(
         jnp.concatenate([c0, c1, c2], axis=1), tb))
     np.testing.assert_array_equal(got, want)
+
+
+def test_ks_inner_batch_matches_composed():
+    """The hoisted-rotation inner-product kernel (NTT-domain digits x
+    per-element keys + batched INTT) == the composed chain per element."""
+    from fhe_tpu.ops import modmath as mm
+    n, k, B = 512, 3, 4
+    ps, tb, pt, _ = make(n, k, 1)
+    dg = jnp.asarray(np.stack([            # [k, kd, B, n], rows < p_i
+        RNG.integers(0, p, (k, B, n), dtype=np.uint32) for p in ps]))
+    keys = jnp.asarray(np.stack([          # [k, kd, B, 2, n], rows < p_i
+        RNG.integers(0, p, (k, B, 2, n), dtype=np.uint32) for p in ps]))
+    got = np.asarray(npal.ks_inner_batch(dg, keys, pt, interpret=True))
+    p4 = tb.p[:, None, None, None]
+    for b in range(B):
+        prod = mm.mul_mod_barrett(
+            dg[:, :, b][:, :, None, :], keys[:, :, b], p4,
+            tb.mu[:, None, None, None])
+        acc = mm.add_mod_tree(prod, p4, axis=1)[:, 0]
+        want = np.asarray(jax.jit(_ntt.ntt_inverse)(acc, tb))
+        np.testing.assert_array_equal(got[:, :, b], want)
+
+
+def test_hoisted_batched_matches_composed(monkeypatch):
+    """apply_galois_hoisted's batched fast path (ks_inner_batch) must be
+    bit-exact with the composed hoisted path (the jnp engine)."""
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    _patch_interpret(monkeypatch, (
+        "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
+        "keyswitch_fused", "ks_inner_batch", "decrypt_fused"))
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=True, use_mxu=False)
+    ctx_ref = make_context(params, use_pallas=False, use_mxu=False)
+    key = jrandom.PRNGKey(41)
+    pk, sk = bfv.keygen(ctx_ref, jrandom.fold_in(key, 0))
+    elems = tuple(pow(3, s, 2 * params.n) for s in range(1, 5))
+    gal = bfv.galoiskey_gen(ctx_ref, jrandom.fold_in(key, 1), sk,
+                            elements=elems)
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    ct = bfv.encrypt(ctx_ref, jrandom.fold_in(key, 2), pk,
+                     enc.encode(list(range(1, 9))))
+    got = bfv.apply_galois_hoisted(ctx, ct, elems, gal)
+    want = bfv.apply_galois_hoisted(ctx_ref, ct, elems, gal)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g.data), np.asarray(w.data))
+    # and each decrypts to the right rotation (g = 3^s rotates rows by s)
+    for s, g in zip(range(1, 5), got):
+        dec = enc.decode(bfv.decrypt(ctx_ref, g, sk))
+        assert list(dec[:3]) == [1 + s, 2 + s, 3 + s], (s, dec[:3])
+
+
+@pytest.mark.parametrize("t", [65537, 786433])
+def test_decrypt_fused_matches_composed(t):
+    """The one-kernel decrypt (phase + gamma trick in VMEM) == the composed
+    bfv.decrypt path, Fermat and generic-t lanes, single and batched."""
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    params = make_scheme_params(SecurityParams(
+        poly_degree=512, log_q=90, lambda_=0, hamming_weight=8,
+        plain_modulus=t))
+    ctx = make_context(params, use_pallas=False)
+    key = jrandom.PRNGKey(3)
+    pk, sk = bfv.keygen(ctx, jrandom.fold_in(key, 0))
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    cts = [bfv.encrypt(ctx, jrandom.fold_in(key, 10 + i), pk,
+                       enc.encode([i + 1, 5 * i + 2])) for i in range(3)]
+    pt = npal.build_pallas_tables(params.n, params.q_primes)
+    # single (B = 1)
+    got1 = np.asarray(dpal.decrypt_fused(
+        cts[0].data[:, 0:1], cts[0].data[:, 1:2], sk.data, pt,
+        ctx.dec_levels[0], fermat=t == 65537, interpret=True))
+    want1 = np.asarray(bfv.decrypt(ctx, cts[0], sk).data)
+    np.testing.assert_array_equal(got1[0], want1)
+    # batched (B = 3)
+    data = jnp.stack([c.data for c in cts])
+    got = np.asarray(dpal.decrypt_fused(
+        jnp.transpose(data[:, :, 0], (1, 0, 2)),
+        jnp.transpose(data[:, :, 1], (1, 0, 2)), sk.data, pt,
+        ctx.dec_levels[0], fermat=t == 65537, interpret=True))
+    for i, ct in enumerate(cts):
+        np.testing.assert_array_equal(
+            got[i], np.asarray(bfv.decrypt(ctx, ct, sk).data))
+    # leveled: one mod switch, sliced tables + level-1 constants
+    ct_l1 = bfv.mod_switch_to_next(ctx, cts[0])
+    got_l1 = np.asarray(dpal.decrypt_fused(
+        ct_l1.data[:, 0:1], ct_l1.data[:, 1:2], sk.data[:params.k - 1],
+        npal.slice_tables(pt, params.k - 1), ctx.dec_levels[1],
+        fermat=t == 65537, interpret=True))
+    np.testing.assert_array_equal(
+        got_l1[0], np.asarray(bfv.decrypt(ctx, ct_l1, sk).data))
+
+
+def test_modmul_chain_matches_composed():
+    """The VMEM-resident roofline probe: `reps` chained modmuls inside one
+    kernel == the composed jnp chain, for every variant."""
+    from fhe_tpu.ops import modmath as mm
+    from fhe_tpu.utils import ubench
+
+    p = 1073479681
+    w = 123456789 % p
+    w_sh = mm.shoup_precompute(w, p)
+    mu = mm.barrett_precompute(p)
+    x = jnp.asarray(RNG.integers(0, p, (16, 512), dtype=np.uint32))
+    for variant, step in (
+            ("exact", lambda v: mm.mul_mod_shoup(
+                v, np.uint32(w), np.uint32(w_sh), np.uint32(p))),
+            ("lazy", lambda v: mm.mul_mod_shoup_lazy(
+                v, np.uint32(w), np.uint32(w_sh), np.uint32(p))),
+            ("barrett", lambda v: mm.mul_mod_barrett(
+                v, np.uint32(w), np.uint32(p), np.uint32(mu)))):
+        got = np.asarray(ubench.modmul_chain(
+            x, np.uint32(w), np.uint32(w_sh), np.uint32(p), np.uint32(mu),
+            reps=5, variant=variant, interpret=True))
+        want = x
+        for _ in range(5):
+            want = step(want)
+        np.testing.assert_array_equal(got, np.asarray(want))
