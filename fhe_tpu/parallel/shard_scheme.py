@@ -40,15 +40,13 @@ default, the psum strategy documents why.
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # JAX >= 0.8 ships shard_map at the top level
     from jax import shard_map
@@ -57,7 +55,6 @@ except ImportError:  # pragma: no cover
 
 from ..ops import modmath as mm
 from ..ops import ntt as _ntt
-from ..ops import rns as _rns
 from ..scheme import noise as _noise
 from ..scheme.types import Ciphertext, RelinKeys
 
@@ -109,11 +106,6 @@ def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
     if pad == 0:
         return arr
     return np.concatenate([arr] + [arr[-1:]] * pad, axis=0)
-
-
-@functools.lru_cache(maxsize=None)
-def _plan_cache():  # pragma: no cover - trivial
-    return {}
 
 
 def build_plan(ctx, n_devices: int):
@@ -275,11 +267,6 @@ def multiply_relin_shardmap(ctx, a: Ciphertext, b: Ciphertext,
         _noise.keyswitch_add(ctx.params, 0)))
     return Ciphertext(data=out, level=0, is_ntt_form=False,
                       noise_budget=bud)
-
-
-@functools.lru_cache(maxsize=None)
-def _sharded_jit_cache():  # pragma: no cover - trivial
-    return {}
 
 
 def _build_shardmap_fn(ctx, mesh: Mesh, axis: str, plan):
