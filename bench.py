@@ -66,6 +66,22 @@ def fold_u32(x) -> jax.Array:
     return jnp.sum(x, dtype=jnp.uint32)
 
 
+def _hard_sync(r):
+    """block_until_ready + a 4-byte host readback.
+
+    MEASUREMENT-CRITICAL on the tunneled runtime: repeated identical
+    dispatches can be deduplicated/acknowledged without recomputation, so
+    a bare block_until_ready between two identical calls can return in
+    ~0 ms while the device does nothing new (measured: the same chained
+    call reads 0.03 ms bare but 116 ms with a readback between trials —
+    the r2 artifact's physically-impossible rates came from exactly this).
+    Forcing one element to the host between timed regions guarantees the
+    next dispatch is real work from a settled queue."""
+    jax.block_until_ready(r)
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+
+
 class Chain:
     """step(carry) -> carry, timed by the interleaved two-point slope."""
 
@@ -80,16 +96,20 @@ class Chain:
         self.slopes = []
 
     def warm(self):
-        jax.block_until_ready(self.g_hi(self.x))
-        jax.block_until_ready(self.g_lo(self.x))
+        _hard_sync(self.g_hi(self.x))
+        _hard_sync(self.g_lo(self.x))
 
     def sample(self):
         t0 = time.perf_counter()
-        jax.block_until_ready(self.g_hi(self.x))
+        r = self.g_hi(self.x)
+        jax.block_until_ready(r)
         t_hi = time.perf_counter() - t0
+        _hard_sync(r)
         t0 = time.perf_counter()
-        jax.block_until_ready(self.g_lo(self.x))
+        r = self.g_lo(self.x)
+        jax.block_until_ready(r)
         t_lo = time.perf_counter() - t0
+        _hard_sync(r)
         self.slopes.append((t_hi - t_lo) / (self.hi - self.lo))
 
     def result(self):
@@ -354,7 +374,11 @@ def main():
     mm_elems = xmm.size
 
     if on_tpu:
-        for variant in ("exact", "lazy"):
+        # cheap17 = the roofline CALIBRATION probe: identical op count and
+        # dependency shape to mul_mod_shoup_lazy with every multiply
+        # replaced by an add — its rate is the empirical ceiling for any
+        # 17-op u32 elementwise chain on this VPU (see utils/ubench.py)
+        for variant in ("exact", "lazy", "cheap17"):
             add_chain(
                 f"modmul_{variant}",
                 lambda v, _var=variant: ubench.modmul_chain(
@@ -435,12 +459,14 @@ def main():
     got_bit = fhe_bs.decode_coeff(fhe_bs.decrypt(
         ct_bit.replace(data=out_bit), sk_bs))[0]
     assert got_bit == 1, got_bit
-    jax.block_until_ready(out_bit)
+    _hard_sync(out_bit)
     boot_times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(boot_j(ct_bit.data, bsk_keys, ks_keys))
+        r = boot_j(ct_bit.data, bsk_keys, ks_keys)
+        jax.block_until_ready(r)
         boot_times.append(time.perf_counter() - t0)
+        _hard_sync(r)  # identical-dispatch dedup guard (see _hard_sync)
     boot_s = _median(boot_times)
 
     rows_ep = bsk_keys.pos[0]
@@ -461,8 +487,17 @@ def main():
     def rnd(v, d=4):
         return round(v, d) if v is not None else None
 
-    # modmul roofline: best variant vs its own HLO op count
-    VPU_PEAK_OPS = 1024 * 4 * 1.50e9      # lanes x ALUs x clock (see note)
+    # modmul roofline — two models, both reported:
+    #  * CALIBRATED (the number of record): the lazy modmul's rate divided
+    #    by the cheap17 probe's rate.  cheap17 has the identical op count
+    #    and dependency shape with the 6 multiplies replaced by adds, so
+    #    its rate is the measured ceiling for this chain shape on this
+    #    VPU; the ratio isolates exactly what the multiplies cost.
+    #  * THEORETICAL: rate x op_count / (lanes x ALUs x clock), charging
+    #    every op one slot — optimistic if the hardware integer multiply
+    #    issues below one-per-lane-per-cycle (it does; the calibrated
+    #    model exists because of that).
+    VPU_PEAK_OPS = 1024 * 4 * 1.50e9      # lanes x ALUs x clock
     roof = {}
     for variant in ("exact", "lazy"):
         key = f"modmul_{variant}"
@@ -473,7 +508,11 @@ def main():
                 gops=rate / 1e9,
                 pct=100.0 * rate * (n_mul + n_cheap) / VPU_PEAK_OPS,
                 mix=[n_mul, n_cheap])
-    best = max(roof, key=lambda v: roof[v]["pct"]) if roof else None
+    best = max(roof, key=lambda v: roof[v]["gops"]) if roof else None
+    pct_calibrated = None
+    if "modmul_cheap17" in res and "modmul_lazy" in res:
+        cheap_rate = 1.0 / res["modmul_cheap17"][0]
+        pct_calibrated = 100.0 * (1.0 / res["modmul_lazy"][0]) / cheap_rate
 
     mul_s = res["mul"][0]
     ntt_s = res["ntt"][0]
@@ -531,7 +570,11 @@ def main():
         extra.update({
             "modmul_per_s": round(roof[best]["gops"] * 1e9, 1),
             "modmul_gops": rnd(roof[best]["gops"], 3),
-            "modmul_roofline_pct": rnd(roof[best]["pct"], 1),
+            "modmul_roofline_pct": rnd(pct_calibrated, 1),
+            "modmul_roofline_pct_theoretical": rnd(roof[best]["pct"], 1),
+            "modmul_cheap17_gops": (rnd(1.0 / res["modmul_cheap17"][0] / 1e9,
+                                        3) if "modmul_cheap17" in res
+                                    else None),
             "modmul_roofline_gops": rnd(
                 VPU_PEAK_OPS / sum(roof[best]["mix"]) / 1e9, 1),
             "modmul_hlo_op_mix": roof[best]["mix"],

@@ -729,18 +729,24 @@ def _ks_inner_kernel_batch(p_ref, mu_ref, ninv_ref, ninvsh_ref,
     """B independent NTT-DOMAIN digit stacks x B key sets -> B coeff deltas.
 
     dg_ref   [1, kd, bt, n]  digits already reduced mod this prime and
-                             transformed (the hoisted-rotation case: one
-                             shared decomposition, per-element NTT-domain
-                             gathers done outside in XLA)
+                             transformed; bt == 1 with a larger key batch
+                             means ONE shared digit stack for every element
+                             (the hoisted-rotation case: the per-element
+                             permutation lives in the pre-permuted keys)
     keys_ref [1, kd, bt, 2, n]  per-element key material for this prime
     o_ref    [1, 2, bt, n]
     """
-    one, kd, bt, n = dg_ref.shape
+    one, kd, dbt, n = dg_ref.shape
+    bt = keys_ref.shape[2]
     i = pl.program_id(0)
     p = p_ref[i, 0]
     mu = mu_ref[i, 0]
     inv = _inv_sweep_lazy if lazy else _inv_sweep
-    f = dg_ref[0].reshape(kd * bt, n)                  # digit-major rows
+    if dbt == bt:
+        f = dg_ref[0].reshape(kd * bt, n)              # digit-major rows
+    else:                                              # shared digit stack
+        f = jnp.broadcast_to(
+            dg_ref[0][:, 0][:, None, :], (kd, bt, n)).reshape(kd * bt, n)
     k0 = keys_ref[0, :, :, 0, :].reshape(kd * bt, n)   # same row order
     k1 = keys_ref[0, :, :, 1, :].reshape(kd * bt, n)
     f0 = mm.mul_mod_barrett(f, k0, p, mu)
@@ -771,23 +777,30 @@ def ks_inner_batch(dg: jax.Array, keys: jax.Array, pt: PallasNTTTables,
     """Key-switch inner product + inverse transform for B independent
     NTT-domain digit stacks with PER-ELEMENT keys, fused per prime.
 
-    dg:   [k, kd, B, n]    NTT-domain digits (element b's stack at [:, :, b])
+    dg:   [k, kd, B, n]    NTT-domain digits (element b's stack at [:, :, b]);
+                           B == 1 with a larger key batch = one SHARED digit
+                           stack for every element (hoisted rotations: the
+                           per-element permutation is folded into the keys)
     keys: [k, kd, B, 2, n] NTT-form keys for element b at [:, :, b]
     Returns [k, 2, B, n] coefficient-domain deltas; slice b is bit-exact
-    with INTT(sum_j dg[:, j, b] * keys[:, j, b]) composed in XLA.
+    with INTT(sum_j dg[:, j, min(b, B_dg-1)] * keys[:, j, b]) composed in XLA.
 
     This is the hoisted-rotation hot kernel (VERDICT r2 weak #3): the digit
     decomposition and its kd forward NTTs are shared across all B Galois
-    elements (computed ONCE outside), the per-element NTT-domain permutation
-    is an XLA gather, and everything after it — 2*kd*B pointwise products,
-    the digit add tree, 2B inverse transforms — runs in one kernel pass with
-    the batch rows filling the VPU sublanes."""
-    k, kd, batch, n = dg.shape
+    elements (computed ONCE outside), the per-element automorphism lives in
+    pre-permuted key material (loop-invariant, hoisted by XLA on reuse),
+    and everything here — 2*kd*B pointwise products, the digit add tree,
+    2B inverse transforms — runs in one kernel pass with the batch rows
+    filling the VPU sublanes."""
+    k, kd, dbatch, n = dg.shape
+    batch = keys.shape[2]
     assert keys.shape == (k, kd, batch, 2, n)
+    assert dbatch in (1, batch)
     tgt = _padded_batch_target(batch, block_batch)
     if tgt:
         out = ks_inner_batch(
-            _pad_batch(dg, 2, tgt), _pad_batch(keys, 2, tgt), pt,
+            dg if dbatch == 1 else _pad_batch(dg, 2, tgt),
+            _pad_batch(keys, 2, tgt), pt,
             interpret=interpret, block_batch=block_batch, lazy=lazy)
         return out[:, :, :batch]
     bt = _pick_bt(batch, max(block_batch, 8))
@@ -796,8 +809,12 @@ def ks_inner_batch(dg: jax.Array, keys: jax.Array, pt: PallasNTTTables,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     table = pl.BlockSpec((1, s, n), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    d_dg = pl.BlockSpec((1, kd, bt, n), lambda i, b: (i, 0, b, 0),
-                        memory_space=pltpu.VMEM)
+    if dbatch == 1:
+        d_dg = pl.BlockSpec((1, kd, 1, n), lambda i, b: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        d_dg = pl.BlockSpec((1, kd, bt, n), lambda i, b: (i, 0, b, 0),
+                            memory_space=pltpu.VMEM)
     d_keys = pl.BlockSpec((1, kd, bt, 2, n), lambda i, b: (i, 0, b, 0, 0),
                           memory_space=pltpu.VMEM)
     dout = pl.BlockSpec((1, 2, bt, n), lambda i, b: (i, 0, b, 0),

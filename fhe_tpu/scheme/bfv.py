@@ -771,19 +771,41 @@ def key_switch(ctx: SchemeContext, ct: Ciphertext, ks_keys: jax.Array,
     return ct.replace(data=jnp.concatenate([c0, delta[:, 1:]], axis=1))
 
 
+def _galois_coeff_folded(data: jax.Array, ft, p) -> jax.Array:
+    """Apply the folded-affine automorphism factorization (see
+    context.galois_fold_tables) to [..., n] data; p broadcastable to the
+    folded [..., R, L] shape."""
+    t_b, t_a, rho, neg2 = ft
+    R = rho.shape[0]
+    L = t_b.shape[0]
+    x = data.reshape(*data.shape[:-1], R, L)
+    y = jnp.take(x, t_b, axis=-1)          # lane gather, L-length index
+    w = y                                  # per-column row rotation by t_a
+    for r in range(1, R):
+        w = jnp.where(t_a == r, jnp.roll(y, -r, axis=-2), w)
+    z = jnp.take(w, rho, axis=-2)          # static row shuffle
+    out = jnp.where(neg2, mm.neg_mod(z, p), z)
+    return out.reshape(data.shape)
+
+
 def _apply_galois_coeff(ctx: SchemeContext, data: jax.Array, g: int) -> jax.Array:
     """a(x) -> a(x^g) on [k, B, n] coefficient-domain residues.
 
-    Elements outside the precomputed default power-of-two set fall back to a
-    cached on-the-fly permutation, so custom galoiskey_gen elements and
-    non-power-of-two hoisted rotations work (any odd g)."""
+    n >= 1024 uses the folded-affine factorization (one short lane gather +
+    row rolls + a static row shuffle — the plain n-length gather costs
+    ~5 us per 1k index entries on v5e and dominated every rotation path);
+    smaller rings fall back to the cached full-permutation gather.  Any odd
+    g works, including elements outside the precomputed default set."""
     g = int(g)
+    p = ctx.ntt_q.p[: data.shape[0], None, None]
+    ft = _context.galois_fold_tables(ctx.n, g)
+    if ft is not None:
+        return _galois_coeff_folded(data, ft, p[..., None])
     if g in ctx.galois_src:
         src, neg = ctx.galois_src[g], ctx.galois_neg[g]
     else:
         src, neg = _context.galois_perm_tables(ctx.n, g)
     gathered = jnp.take(data, src, axis=-1)
-    p = ctx.ntt_q.p[: data.shape[0], None, None]
     return jnp.where(neg[None, None, :], mm.neg_mod(gathered, p), gathered)
 
 
@@ -856,15 +878,19 @@ def apply_galois_batch(ctx: SchemeContext, cts: list, g: int,
                 for ct in cts]
     g = int(g)
     data = jnp.stack([to_coeff(ctx, ct).data for ct in cts])   # [B, k, 2, n]
-    if g in ctx.galois_src:
-        src, neg = ctx.galois_src[g], ctx.galois_neg[g]
-    else:
-        src, neg = _context.galois_perm_tables(ctx.n, g)
     tb = _tb(ctx, level)
     p4 = tb.p[None, :, None, None]
-    gathered = jnp.take(data, src, axis=-1)
-    permuted = jnp.where(neg[None, None, None, :],
-                         mm.neg_mod(gathered, p4), gathered)
+    ft = _context.galois_fold_tables(ctx.n, g)
+    if ft is not None:
+        permuted = _galois_coeff_folded(data, ft, p4[..., None])
+    else:
+        if g in ctx.galois_src:
+            src, neg = ctx.galois_src[g], ctx.galois_neg[g]
+        else:
+            src, neg = _context.galois_perm_tables(ctx.n, g)
+        gathered = jnp.take(data, src, axis=-1)
+        permuted = jnp.where(neg[None, None, None, :],
+                             mm.neg_mod(gathered, p4), gathered)
     keys = (gal_keys.data[g] if keys_at_level
             else _switch_keys_down(ctx, gal_keys.data[g], level, False))
     inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
@@ -905,6 +931,15 @@ def rotate_rows_batch(ctx: SchemeContext, cts: list, steps: int,
             steps ^= bit
         bit <<= 1
     return cts
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_perm_inv_host(n: int, g: int):
+    """Inverse of _eval_perm_host's gather: inv[perm[j]] = j.  Pre-permuting
+    key material with this moves the hoisted-rotation automorphism OFF the
+    per-call data path: sum_j take(F_j, perm) . K_j
+    == take(sum_j F_j . take(K_j, inv), perm)."""
+    return np.argsort(_eval_perm_host(n, g)).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -954,30 +989,39 @@ def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
         gal_keys.data[g] if keys_at_level
         else _switch_keys_down(ctx, gal_keys.data[g], level, bgv)
         for g in elements]
-    perms = [jnp.asarray(_eval_perm_host(ctx.n, int(g))) for g in elements]
     if ctx.use_pallas and len(elements) > 1:
-        # batched fast path: all per-element inner products + inverse
-        # transforms in one fused kernel pass (ntt_pallas.ks_inner_batch);
-        # the shared d_ntt only pays the per-element NTT-domain gather
-        dg = jnp.stack([jnp.take(d_ntt, pm, axis=-1) for pm in perms],
-                       axis=2)                         # [k, kd, B, n]
+        # Batched fast path with the automorphism folded into the KEYS:
+        #   sum_j perm_g(F_j) . K_j = perm_g( sum_j F_j . inv_perm_g(K_j) )
+        # so the shared NTT-domain digits flow to every element UNGATHERED
+        # (the r2 hoisted path lost to plain rotation because its
+        # per-element NTT-domain gathers cost more than the saved
+        # transforms).  The pre-permuted keys are loop-invariant — XLA
+        # hoists their gathers out of any reuse loop — and the only
+        # per-element data movement left is ONE coefficient-domain
+        # automorphism of the finished [k, 2, n] output (which also
+        # absorbs the phi_g(c0) the plain path pays anyway).
         keys_st = jnp.stack(
-            [jnp.transpose(kk, (1, 0, 2, 3)) for kk in keys_per_g],
+            [jnp.take(jnp.transpose(kk, (1, 0, 2, 3)),
+                      jnp.asarray(_eval_perm_inv_host(ctx.n, int(g))),
+                      axis=-1)
+             for g, kk in zip(elements, keys_per_g)],
             axis=2)                                    # [k, kd, B, 2, n]
         delta_b = _ntt_pl.ks_inner_batch(
-            dg, keys_st, _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
+            d_ntt[:, :, None, :], keys_st,
+            _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
+        # per-element output automorphisms ride the folded-affine fast path
+        # (_apply_galois_coeff) — the only per-element data movement left
         outs = []
         for b, g in enumerate(elements):
-            delta = delta_b[:, :, b]                   # [k, 2, n]
-            c0 = mm.add_mod(
-                _apply_galois_coeff(ctx, ct.data[:, :1], g),
-                delta[:, :1], p)
-            outs.append(ct.replace(
-                data=jnp.concatenate([c0, delta[:, 1:]], axis=1),
-                noise_budget=nb))
+            raw = delta_b[:, :, b]                     # [k, 2, n] pre-phi
+            raw0 = mm.add_mod(ct.data[:, :1], raw[:, :1], p)
+            data = _apply_galois_coeff(
+                ctx, jnp.concatenate([raw0, raw[:, 1:]], axis=1), g)
+            outs.append(ct.replace(data=data, noise_budget=nb))
         return outs
     outs = []
-    for g, keys, perm in zip(elements, keys_per_g, perms):
+    for g, keys in zip(elements, keys_per_g):
+        perm = jnp.asarray(_eval_perm_host(ctx.n, int(g)))
         dg = jnp.take(d_ntt, perm, axis=-1)            # NTT-domain phi_g
         acc0, acc1 = _ks_inner_from_digits(ctx, dg, keys, level)
         delta = _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)

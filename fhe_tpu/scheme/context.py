@@ -133,6 +133,48 @@ def galois_perm_tables(n: int, g: int) -> tuple[jax.Array, jax.Array]:
     return jnp.asarray(src), jnp.asarray(neg)
 
 
+_GALOIS_FOLD_ROWS = 8
+
+
+@functools.lru_cache(maxsize=None)
+def galois_fold_tables(n: int, g: int):
+    """Folded-affine factorization of the coefficient automorphism.
+
+    XLA's general lane gather costs ~5 µs per 1k index entries on v5e (and
+    superlinearly worse for longer indices), making x -> x(x^g) the dominant
+    cost of every rotation.  But src[j] = h*j mod n (h = g^-1 mod 2n) is
+    AFFINE, so on a row-major [R, L] fold (j = a*L + b, R = 8, L = n/8):
+
+        src_row(a, b) = (h*a + t_a(b)) mod R,   src_col(b) = t_b(b)
+
+    with h*b mod n = t_a(b)*L + t_b(b).  The permutation factors into
+      1. one lane gather with an L-length shared index (t_b),
+      2. a per-column row rotation by t_a (R rolls + selects, VPU-cheap),
+      3. a static row shuffle rho(a) = h*a mod R,
+    shrinking the gather index 8x and moving the rest onto full-width ops.
+
+    Returns (t_b [L] int32, t_a [L] int32, rho [R] int32, neg [R, L] bool)
+    as device arrays, or None when n < 1024 (L must stay >= 128) —
+    bfv._apply_galois_coeff falls back to the plain gather then."""
+    R = _GALOIS_FOLD_ROWS
+    if n < R * 128:
+        return None
+    L = n // R
+    h = pow(g, -1, 2 * n)
+    b = np.arange(L, dtype=np.int64)
+    hb = (h * b) % n
+    t_a = (hb // L).astype(np.int32)
+    t_b = (hb % L).astype(np.int32)
+    rho = np.array([(h * a) % R for a in range(R)], dtype=np.int32)
+    # verify the factorization against the reference table, row by row
+    src_ref, neg_ref = galois_permutation(n, g)
+    a_grid = np.arange(R)[:, None]
+    rec = (((rho[a_grid] + t_a[None, :]) % R) * L + t_b[None, :])
+    assert np.array_equal(rec.reshape(-1), src_ref), (n, g)
+    return (jnp.asarray(t_b), jnp.asarray(t_a), jnp.asarray(rho),
+            jnp.asarray(neg_ref.reshape(R, L)))
+
+
 def default_galois_elements(n: int) -> tuple[int, ...]:
     """Galois elements for power-of-two row rotations (both directions) plus
     the column swap g = 2n-1, mirroring SEAL-style key generation."""

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import modmath as mm
 
 
-def _chain_kernel(sc_ref, x_ref, o_ref, *, reps, variant):
+def _chain_kernel(sc_ref, x_ref, o_ref, *, reps, variant, unroll=1):
     w = sc_ref[0, 0]
     ws = sc_ref[0, 1]
     p = sc_ref[0, 2]
@@ -39,27 +39,57 @@ def _chain_kernel(sc_ref, x_ref, o_ref, *, reps, variant):
     elif variant == "barrett":
         mu = sc_ref[0, 3]
         step = lambda v: mm.mul_mod_barrett(v, w, p, mu)
+    elif variant == "cheap17":
+        # roofline CALIBRATION probe: the exact op count and dependency
+        # shape of mul_mod_shoup_lazy with every multiply replaced by an
+        # add (2 limb splits + 4 "partial products" + 8 assembly ops +
+        # 1 low product + 2 reduce = 17 ops, non-affine so nothing folds).
+        # Its measured rate is the empirical ceiling for ANY 17-op u32
+        # elementwise chain on this VPU; modmul_roofline_pct divides the
+        # real modmul's op rate by it.
+        m16 = np.uint32(0xFFFF)
+
+        def step(v):
+            a0 = v & m16
+            a1 = v >> 16
+            ll = a0 + w
+            lh = a0 + ws
+            hl = a1 + w
+            hh = a1 + ws
+            mid = lh + (ll >> 16)
+            mid2 = hl + (mid & m16)
+            hi = hh + (mid >> 16) + (mid2 >> 16)
+            lo = v + w
+            return lo - (hi + p)
     else:  # pragma: no cover
         raise ValueError(variant)
-    o_ref[...] = jax.lax.fori_loop(
-        0, reps, lambda i, v: step(v), x_ref[...])
+    # manual unroll: fewer loop-carried boundaries lets Mosaic overlap the
+    # independent per-vreg chains (device A/B: unroll 8 at 8 block rows won
+    # 206 vs 148 G modmul/s over the unrolled=1/16-row default)
+    def body(i, v):
+        for _ in range(unroll):
+            v = step(v)
+        return v
+    o_ref[...] = jax.lax.fori_loop(0, reps // unroll, body, x_ref[...])
 
 
 @functools.partial(jax.jit, static_argnames=("reps", "variant", "interpret",
-                                             "block_rows"))
+                                             "block_rows", "unroll"))
 def modmul_chain(x: jax.Array, w, w_sh, p, mu, reps: int,
                  variant: str = "exact", interpret: bool = False,
-                 block_rows: int = 16) -> jax.Array:
+                 block_rows: int = 8, unroll: int = 8) -> jax.Array:
     """`reps` data-dependent modmuls by the constant (w, w_sh) on a
     [rows, n] uint32 block, entirely in VMEM.  Returns the chained result
-    (bit-exact with the composed jnp chain for each variant)."""
+    (bit-exact with the composed jnp chain for each variant).
+    reps must be a multiple of `unroll`."""
     rows, n = x.shape
+    assert reps % unroll == 0
     bt = min(block_rows, rows)
     assert rows % bt == 0
     scalars = jnp.stack([jnp.uint32(w), jnp.uint32(w_sh), jnp.uint32(p),
                          jnp.uint32(mu)])[None]          # [1, 4] SMEM
     return pl.pallas_call(
-        functools.partial(_chain_kernel, reps=reps, variant=variant),
+        functools.partial(_chain_kernel, reps=reps, variant=variant, unroll=unroll),
         grid=(rows // bt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((bt, n), lambda b: (b, 0),

@@ -264,3 +264,31 @@ def test_sum_slots(fhe, keys):
     total = int(vals.sum() % fhe.params.t)
     out = fhe.decode(fhe.decrypt(fhe.sum_slots(ct, gk), sk))
     assert int(out[0]) == total and int(out[n - 1]) == total
+
+
+def test_galois_folded_factorization_matches_gather():
+    """The folded-affine automorphism (context.galois_fold_tables +
+    bfv._galois_coeff_folded) must equal the plain permutation gather for
+    every ring size it activates on and a spread of odd elements."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fhe_tpu.ops import modmath as mm
+    from fhe_tpu.scheme import bfv as _bfv
+    from fhe_tpu.scheme import context as _context
+
+    rng = np.random.default_rng(17)
+    p = np.uint32(1073479681)
+    for n in (1024, 2048, 8192):
+        x = jnp.asarray(rng.integers(0, p, (2, 3, n), dtype=np.uint32))
+        for g in (3, 9, pow(3, 5, 2 * n), 2 * n - 1, pow(3, -1, 2 * n)):
+            ft = _context.galois_fold_tables(n, int(g))
+            assert ft is not None, (n, g)
+            got = np.asarray(_bfv._galois_coeff_folded(
+                x, ft, jnp.asarray(p)[None, None, None, None]))
+            src, neg = _context.galois_permutation(n, int(g))
+            gat = np.asarray(x)[:, :, src]
+            want = np.where(neg[None, None, :],
+                            np.where(gat == 0, gat, p - gat), gat)
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n} g={g}")
+    # small rings must fall back (no folded tables)
+    assert _context.galois_fold_tables(512, 3) is None

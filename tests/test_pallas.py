@@ -529,7 +529,7 @@ def test_modmul_chain_matches_composed():
                 v, np.uint32(w), np.uint32(p), np.uint32(mu)))):
         got = np.asarray(ubench.modmul_chain(
             x, np.uint32(w), np.uint32(w_sh), np.uint32(p), np.uint32(mu),
-            reps=5, variant=variant, interpret=True))
+            reps=5, variant=variant, interpret=True, unroll=1))
         want = x
         for _ in range(5):
             want = step(want)
