@@ -314,10 +314,14 @@ def main():
 
     hoist_elems = tuple(pow(3, s, 2 * n) for s in range(1, 9))
     gk_h = fhe.galoiskey_gen(sk, elements=hoist_elems)
+    # pre-permuted key stack, computed once (the FHE wrapper caches this;
+    # repeated hoisted rotations with the same keys never re-permute)
+    pre_h = (bfv.hoisted_galois_keys(ctx, gk_h, hoist_elems)
+             if ctx.use_pallas else None)
 
     def rot_hoist_step(a):
         outs = bfv.apply_galois_hoisted(
-            ctx, ct1.replace(data=a), hoist_elems, gk_h)
+            ctx, ct1.replace(data=a), hoist_elems, gk_h, pre_keys=pre_h)
         # modular fold of all 8 outputs: anti-DCE, carry stays in residue
         # range; costs 7 add_mod sweeps (~1% of 8 key switches)
         return mmx.add_mod_tree(jnp.stack([o.data for o in outs]),
@@ -428,6 +432,26 @@ def main():
         fhe8.ctx, c8a.replace(data=a), c8b, rlk8).data, c8a.data, hi=85)
     add_chain("tens_k8", lambda a: bfv.multiply_no_relin(
         fhe8.ctx, c8a.replace(data=a), c8b).data[:, :2], c8a.data, hi=85)
+
+    # k=8 rotations: with kd=8 gadget digits the decomposition dominates a
+    # key switch, so THIS is the regime hoisting is for (at k=3 the folded
+    # kernels leave little decomposition to amortize)
+    gk8 = fhe8.galoiskey_gen(sk8, elements=hoist_elems)
+    p3_8 = fhe8.ctx.ntt_q.p[:, None, None]
+    add_chain("rot_k8", lambda a: bfv.apply_galois(
+        fhe8.ctx, c8a.replace(data=a), hoist_elems[0], gk8).data,
+        c8a.data, hi=85)
+    pre_h8 = (bfv.hoisted_galois_keys(fhe8.ctx, gk8, hoist_elems)
+              if fhe8.ctx.use_pallas else None)
+
+    def rot_hoist8_step(a):
+        outs = bfv.apply_galois_hoisted(
+            fhe8.ctx, c8a.replace(data=a), hoist_elems, gk8,
+            pre_keys=pre_h8)
+        return mmx.add_mod_tree(jnp.stack([o.data for o in outs]),
+                                p3_8[None], axis=0)[0]
+
+    add_chain("rot_hoist_k8", rot_hoist8_step, c8a.data, hi=45, div=8.0)
 
     # ---- bootstrap pipeline (extract_lsb -> blind_rotate -> raise ->
     # key_switch) at n=1024 — the CGGI latency config (VERDICT r2 missing
@@ -550,6 +574,8 @@ def main():
         "rotate_rows_ms": rnd(ms("rot")),
         "rotate_hoisted_ms_per_rot": rnd(ms("rot_hoist")),
         "rotate_rows_ms_batched": rnd(ms("rot_b8")),
+        "rotate_rows_ms_k8": rnd(ms("rot_k8")),
+        "rotate_hoisted_ms_per_rot_k8": rnd(ms("rot_hoist_k8")),
         "keygen_ms": rnd(ms("keygen")),
         "keygen_vs_baseline": rnd(100.0 / ms("keygen"), 3),
         "simd_values_per_s": round(fhe.slot_count / res["enc_b8"][0], 1),

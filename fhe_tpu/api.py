@@ -81,6 +81,7 @@ class FHE:
         # neither pin dead keys in HBM nor grow unboundedly
         self._rlk_cache: dict = {}
         self._gal_cache: dict = {}
+        self._hoist_cache: dict = {}
         self._bootstrap_ks_cache: dict = {}
 
     def _next_key(self):
@@ -249,20 +250,42 @@ class FHE:
     def rotate_rows_hoisted(self, ct, steps_list, gal_keys: GaloisKeys):
         """Many rotations of ONE ciphertext sharing a single hoisted gadget
         decomposition (each step must have a direct Galois key: generate
-        with galoiskey_gen(sk, elements=[pow(3, s, 2n) for s in steps]))."""
+        with galoiskey_gen(sk, elements=[pow(3, s, 2n) for s in steps])).
+
+        The inverse-eval-permuted key stack (bfv.hoisted_galois_keys) is
+        cached per (keys, elements, level) — repeated hoisted rotations
+        with the same key material pay no key permutation."""
         m = 2 * self.params.n
-        elements = [pow(3, int(s), m) for s in steps_list]
+        elements = tuple(pow(3, int(s), m) for s in steps_list)
         for g in elements:
             if g not in gal_keys.data:
                 raise KeyError(
                     f"no galois key for element {g}; generate with "
-                    f"galoiskey_gen(sk, elements={elements})")
-        if ct.level:
-            gal_keys = self._gal_at(gal_keys, ct.level)
+                    f"galoiskey_gen(sk, elements={list(elements)})")
+        level = ct.level
+        if level:
+            gal_keys = self._gal_at(gal_keys, level)
+        pre = None
+        if getattr(self.ctx, "use_pallas", False) and len(elements) > 1:
+            ck = (id(gal_keys), elements, level)
+            pre = self._hoist_cache.get(ck)
+            if pre is None:
+                import weakref
+                with self.monitor.time("hoisted_galois_keys"):
+                    pre = bfv.hoisted_galois_keys(
+                        self.ctx, gal_keys, elements, level,
+                        bgv=self.scheme_name == "bgv",
+                        keys_at_level=level > 0)
+                self._hoist_cache[ck] = pre
+                kid = id(gal_keys)
+                weakref.finalize(
+                    gal_keys, lambda c=self._hoist_cache, i=kid: [
+                        c.pop(kk) for kk in list(c) if kk[0] == i])
         with self.monitor.time("rotate_hoisted"):
             return self._scheme.apply_galois_hoisted(
                 self.ctx, ct, elements, gal_keys,
-                bgv=self.scheme_name == "bgv", keys_at_level=ct.level > 0)
+                bgv=self.scheme_name == "bgv", keys_at_level=level > 0,
+                pre_keys=pre)
 
     def sum_slots(self, ct, gal_keys: GaloisKeys):
         """Every slot becomes the sum of ALL slots: log2(n/2) rotate-and-add

@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import modmath as mm
 from .ntt_pallas import (PallasNTTTables, _fwd_sweep, _fwd_sweep_lazy,
-                         _inv_sweep, _inv_sweep_lazy, _pick_bt,
-                         _wget_single)
+                         _fwd_sweep_folded_lazy, _inv_sweep, _inv_sweep_lazy,
+                         _inv_sweep_folded_lazy, _pick_bt, _wget_single)
 from .rns import DecryptConsts
 
 _U = np.uint32
@@ -47,23 +47,33 @@ def _decrypt_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref,
                     sc_ref,
                     fw_ref, fwsh_ref, iw_ref, iwsh_ref,
                     c0_ref, c1_ref, s_ref, o_ref,
-                    acc_t, acc_g, *, k, fermat, lazy):
-    n = c1_ref.shape[-1]
+                    acc_t, acc_g, *, k, fermat, lazy, folded):
     i = pl.program_id(1)               # prime index: the FAST grid axis
     p = p_ref[i, 0]
     mu = mu_ref[i, 0]
-    fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
-    inv = _inv_sweep_lazy if lazy else _inv_sweep
     t = sc_ref[0, 0]
     gamma = sc_ref[0, 1]
     gamma_mu = sc_ref[0, 2]
 
     # ---- per-prime phase: c0 + INTT(NTT(c1) . s) ----
-    f = fwd(c1_ref[0], _wget_single(fw_ref[0], fwsh_ref[0]), p, n)
-    prod = mm.mul_mod_barrett(f, s_ref[0, 0][None], p, mu)
-    term = inv(prod, _wget_single(iw_ref[0], iwsh_ref[0]),
-               ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)
-    phase = mm.add_mod(c0_ref[0], term, p)             # [bt, n]
+    if folded:
+        L = c1_ref.shape[-1]
+        n = 8 * L
+        wf = lambda s: (fw_ref[0, s][None], fwsh_ref[0, s][None])
+        wi = lambda s: (iw_ref[0, s][None], iwsh_ref[0, s][None])
+        f = _fwd_sweep_folded_lazy(c1_ref[0], wf, p, n)
+        prod = mm.mul_mod_barrett(f, s_ref[0, 0][None], p, mu)
+        term = _inv_sweep_folded_lazy(
+            prod, wi, ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)
+    else:
+        n = c1_ref.shape[-1]
+        fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
+        inv = _inv_sweep_lazy if lazy else _inv_sweep
+        f = fwd(c1_ref[0], _wget_single(fw_ref[0], fwsh_ref[0]), p, n)
+        prod = mm.mul_mod_barrett(f, s_ref[0, 0][None], p, mu)
+        term = inv(prod, _wget_single(iw_ref[0], iwsh_ref[0]),
+                   ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)
+    phase = mm.add_mod(c0_ref[0], term, p)             # [bt, n] | [bt, 8, L]
 
     # ---- gamma-trick lanes for this prime ----
     z = mm.mul_mod_shoup(phase, gt_ref[i, 0], gtsh_ref[i, 0], p)
@@ -129,6 +139,43 @@ def decrypt_fused(c0: jax.Array, c1: jax.Array, s_ntt: jax.Array,
     s_stages = pt.fwd_w.shape[1]
     grid = (pl.cdiv(batch, bt), k)     # prime axis fastest: accumulators
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scalars = jnp.stack([
+        dc.t, dc.gamma, dc.gamma_mu, dc.neg_inv_q_t, dc.neg_inv_q_t_shoup,
+        dc.neg_inv_q_g, dc.inv_gamma_t, dc.inv_gamma_t_shoup, dc.gamma_mod_t,
+        dc.one_shoup_t]).astype(jnp.uint32)[None]      # [1, 10] SMEM
+    folded = lazy and n >= 1024 and bt < 8
+    if folded:
+        L = n // 8
+        table = pl.BlockSpec((1, s_stages, 8, L), lambda b, i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        data = pl.BlockSpec((1, bt, 8, L), lambda b, i: (i, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        d_s = pl.BlockSpec((1, 1, 8, L), lambda b, i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        dout = pl.BlockSpec((bt, 8, L), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_decrypt_kernel, k=k, fermat=fermat,
+                              lazy=lazy, folded=True),
+            grid=grid,
+            in_specs=[smem] * 10 + [table] * 4 + [data, data, d_s],
+            out_specs=dout,
+            out_shape=jax.ShapeDtypeStruct((batch, 8, L), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((bt, 8, L), jnp.uint32),
+                            pltpu.VMEM((bt, 8, L), jnp.uint32)],
+            interpret=interpret,
+        )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup,
+          dc.gt_inv_phat[:, None], dc.gt_inv_phat_shoup[:, None],
+          dc.phat_mod_t[:, None], dc.phat_shoup_t[:, None],
+          dc.phat_mod_g[:, None],
+          scalars,
+          pt.fwd_w.reshape(k, s_stages, 8, L),
+          pt.fwd_w_sh.reshape(k, s_stages, 8, L),
+          pt.inv_w.reshape(k, s_stages, 8, L),
+          pt.inv_w_sh.reshape(k, s_stages, 8, L),
+          c0.reshape(k, batch, 8, L), c1.reshape(k, batch, 8, L),
+          s_ntt.reshape(k, 1, 8, L))
+        return out.reshape(batch, n)
     table = pl.BlockSpec((1, s_stages, n), lambda b, i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     data = pl.BlockSpec((1, bt, n), lambda b, i: (i, b, 0),
@@ -137,12 +184,9 @@ def decrypt_fused(c0: jax.Array, c1: jax.Array, s_ntt: jax.Array,
                        memory_space=pltpu.VMEM)
     dout = pl.BlockSpec((bt, n), lambda b, i: (b, 0),
                         memory_space=pltpu.VMEM)
-    scalars = jnp.stack([
-        dc.t, dc.gamma, dc.gamma_mu, dc.neg_inv_q_t, dc.neg_inv_q_t_shoup,
-        dc.neg_inv_q_g, dc.inv_gamma_t, dc.inv_gamma_t_shoup, dc.gamma_mod_t,
-        dc.one_shoup_t]).astype(jnp.uint32)[None]      # [1, 10] SMEM
     return pl.pallas_call(
-        functools.partial(_decrypt_kernel, k=k, fermat=fermat, lazy=lazy),
+        functools.partial(_decrypt_kernel, k=k, fermat=fermat, lazy=lazy,
+                          folded=False),
         grid=grid,
         in_specs=[smem] * 10 + [table] * 4 + [data, data, d_s],
         out_specs=dout,

@@ -269,6 +269,94 @@ def _inv_sweep_lazy(x, wget, n_inv, n_inv_sh, p, n):
     return mm.mul_mod_shoup(x, n_inv, n_inv_sh, p)    # exact -> [0, p)
 
 
+# ---------------------------------------------------------------------------
+# sublane-FOLDED sweeps: a length-n polynomial as [8, L] rows (L = n/8).
+#
+# A [1, n] value occupies one sublane of each (8, 128) vreg — single-poly
+# sweeps ran at 1/8 VPU utilization.  Folding the flat index j = a*L + b
+# (row-major) makes every stage either
+#   * a ROW stage  (pair distance t in {4L, 2L, L}): partner on row
+#     a +- t/L, same lane -> sublane roll on axis -2, row-parity mask, or
+#   * a LANE stage (t <= L/2): pairs stay within a row because L % 2t == 0
+#     -> the usual lane roll on axis -1, lane-parity mask (b // t) % 2
+# so no butterfly ever reshapes the lane dim.  Twiddle tables are the same
+# [S, n] memory viewed as [S, 8, L] (free bitcast outside the kernel).
+# Bit-exact with the flat sweeps (tests/test_pallas.py).
+# ---------------------------------------------------------------------------
+
+
+def _fold_mask(t: int, L: int, shape):
+    """First-of-pair mask on [..., 8, L] folded values for flat distance t."""
+    if t >= L:  # row stage: (a // (t/L)) % 2 == 0
+        a = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+        return (a // (t // L)) % 2 == 0
+    b = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return (b // t) % 2 == 0
+
+
+def _fold_roll(x, shift_flat: int, L: int):
+    """roll(x_flat, shift) on the folded [..., 8, L] view (|shift| either a
+    multiple of L -> row roll, or <= L/2 -> lane roll; wrap positions are
+    always masked off by _fold_mask)."""
+    if abs(shift_flat) >= L:
+        return jnp.roll(x, shift_flat // L, axis=-2)
+    return jnp.roll(x, shift_flat, axis=-1)
+
+
+def _fwd_sweep_folded_lazy(x, wget, p, n):
+    """Harvey lazy CT sweep on [B, 8, L] folded values (see _fwd_sweep_lazy
+    for the range discipline; identical math, folded addressing)."""
+    L = x.shape[-1]
+    two_p = p + p
+    for sidx, m in enumerate(_stage_ms(n)):
+        t = n // (2 * m)
+        mask = _fold_mask(t, L, x.shape)
+        w, ws = wget(sidx)
+        wx = mm.mul_mod_shoup_lazy(x, w, ws, p)
+        xu = jnp.where(x >= two_p, x - two_p, x)
+        wv_at_first = _fold_roll(wx, -t, L)
+        u_at_second = _fold_roll(xu, t, L)
+        x = jnp.where(mask, xu + wv_at_first, u_at_second + two_p - wx)
+    x = jnp.where(x >= two_p, x - two_p, x)
+    return jnp.where(x >= p, x - p, x)
+
+
+def _inv_sweep_folded_lazy(x, wget, n_inv, n_inv_sh, p, n):
+    """Lazy GS sweep on [B, 8, L] folded values (see _inv_sweep_lazy)."""
+    L = x.shape[-1]
+    two_p = p + p
+    stages = list(enumerate(_stage_ms(n)))[::-1]
+    for sidx, m in stages:
+        t = n // (2 * m)
+        mask = _fold_mask(t, L, x.shape)
+        w, ws = wget(sidx)
+        v_at_first = _fold_roll(x, -t, L)
+        u_at_second = _fold_roll(x, t, L)
+        s = x + v_at_first
+        summed = jnp.where(s >= two_p, s - two_p, s)
+        diffed = mm.mul_mod_shoup_lazy(u_at_second + two_p - x, w, ws, p)
+        x = jnp.where(mask, summed, diffed)
+    return mm.mul_mod_shoup(x, n_inv, n_inv_sh, p)
+
+
+def _fwd_kernel_folded(p_ref, w_ref, wsh_ref, x_ref, o_ref):
+    L = x_ref.shape[-1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    wget = lambda s: (w_ref[0, s][None], wsh_ref[0, s][None])   # [1, 8, L]
+    o_ref[...] = _fwd_sweep_folded_lazy(x_ref[0], wget, p, 8 * L)[None]
+
+
+def _inv_kernel_folded(p_ref, ninv_ref, ninvsh_ref, w_ref, wsh_ref, x_ref,
+                       o_ref):
+    L = x_ref.shape[-1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    wget = lambda s: (w_ref[0, s][None], wsh_ref[0, s][None])
+    o_ref[...] = _inv_sweep_folded_lazy(
+        x_ref[0], wget, ninv_ref[i, 0], ninvsh_ref[i, 0], p, 8 * L)[None]
+
+
 def _fwd_kernel(p_ref, w_ref, wsh_ref, x_ref, o_ref, *, lazy=False):
     n = x_ref.shape[-1]
     i = pl.program_id(0)
@@ -338,15 +426,30 @@ def _padded_batch_target(batch: int, block_batch: int) -> int | None:
     return -(-batch // 8) * 8
 
 
+def _use_folded(batch: int, bt: int, n: int, lazy: bool,
+                folded: bool | None) -> bool:
+    """Fold small batches into the sublanes: a [1, n] row uses one of the
+    8 sublanes of every vreg, so sub-8-row blocks waste up to 7/8 of the
+    VPU; the folded [bt, 8, n/8] layout fills them (device A/B: single
+    n=8192 forward 13.5 -> ~4 us).  Only the lazy sweeps have folded
+    forms; n/8 must keep a full lane tile."""
+    if folded is not None:
+        return folded
+    return lazy and n >= 1024 and bt < 8
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "block_batch", "lazy"))
+                   static_argnames=("interpret", "block_batch", "lazy",
+                                    "folded"))
 def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
-                block_batch: int = 16, lazy: bool = True) -> jax.Array:
+                block_batch: int = 16, lazy: bool = True,
+                folded: bool | None = None) -> jax.Array:
     """[k, batch, n] fused forward NTT; bit-exact with ops/ntt.ntt_forward.
 
     lazy=True (the default — won the on-device A/B: 1.0 µs vs 1.8 µs per
     batched n=8192 transform) uses the Harvey [0, 4p) butterfly chain (one
-    select per stage instead of three) — bit-identical output.
+    select per stage instead of three) — bit-identical output.  Small
+    batches automatically use the sublane-folded layout (_use_folded).
 
     Blocks stay one-prime-per-grid-step: the stage twiddle is then a free
     [1, n] broadcast.  (A kp-primes-per-step variant with flat [kp*bt, n]
@@ -356,6 +459,23 @@ def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.fwd_w.shape[1]
+    if _use_folded(batch, bt, n, lazy, folded):
+        L = n // 8
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        tablef = pl.BlockSpec((1, s, 8, L), lambda i, b: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dataf = pl.BlockSpec((1, bt, 8, L), lambda i, b: (i, b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            _fwd_kernel_folded,
+            grid=(k, pl.cdiv(batch, bt)),
+            in_specs=[smem, tablef, tablef, dataf],
+            out_specs=dataf,
+            out_shape=jax.ShapeDtypeStruct((k, batch, 8, L), jnp.uint32),
+            interpret=interpret,
+        )(pt.p, pt.fwd_w.reshape(k, s, 8, L),
+          pt.fwd_w_sh.reshape(k, s, 8, L), a.reshape(k, batch, 8, L))
+        return out.reshape(k, batch, n)
     grid, smem, table, data = _specs(k, batch, bt, n, s)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, lazy=lazy),
@@ -368,13 +488,32 @@ def ntt_forward(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "block_batch", "lazy"))
+                   static_argnames=("interpret", "block_batch", "lazy",
+                                    "folded"))
 def ntt_inverse(a: jax.Array, pt: PallasNTTTables, interpret: bool = False,
-                block_batch: int = 16, lazy: bool = True) -> jax.Array:
+                block_batch: int = 16, lazy: bool = True,
+                folded: bool | None = None) -> jax.Array:
     """[k, batch, n] fused inverse NTT; bit-exact with ops/ntt.ntt_inverse."""
     k, batch, n = a.shape
     bt = _pick_bt(batch, block_batch)
     s = pt.inv_w.shape[1]
+    if _use_folded(batch, bt, n, lazy, folded):
+        L = n // 8
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        tablef = pl.BlockSpec((1, s, 8, L), lambda i, b: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dataf = pl.BlockSpec((1, bt, 8, L), lambda i, b: (i, b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            _inv_kernel_folded,
+            grid=(k, pl.cdiv(batch, bt)),
+            in_specs=[smem, smem, smem, tablef, tablef, dataf],
+            out_specs=dataf,
+            out_shape=jax.ShapeDtypeStruct((k, batch, 8, L), jnp.uint32),
+            interpret=interpret,
+        )(pt.p, pt.n_inv, pt.n_inv_shoup, pt.inv_w.reshape(k, s, 8, L),
+          pt.inv_w_sh.reshape(k, s, 8, L), a.reshape(k, batch, 8, L))
+        return out.reshape(k, batch, n)
     grid, smem, table, data = _specs(k, batch, bt, n, s)
     return pl.pallas_call(
         functools.partial(_inv_kernel, lazy=lazy),
@@ -398,6 +537,24 @@ def polymul_negacyclic(a: jax.Array, b: jax.Array, tb: NTTTables,
 # ---------------------------------------------------------------------------
 # fused NTT-domain product with a coeff-domain operand: INTT(NTT(u) ⊙ w)
 # ---------------------------------------------------------------------------
+
+
+def _ntt_mul_kernel_folded(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
+                           fwsh_ref, iw_ref, iwsh_ref, u_ref, w_ref, o_ref):
+    """Folded-layout INTT(NTT(u) . w): u [1, 1, 8, L], w [1, c, 8, L]."""
+    L = u_ref.shape[-1]
+    n = 8 * L
+    c = w_ref.shape[1]
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    wf = lambda s: (fw_ref[0, s][None], fwsh_ref[0, s][None])
+    wi = lambda s: (iw_ref[0, s][None], iwsh_ref[0, s][None])
+    un = _fwd_sweep_folded_lazy(u_ref[0], wf, p, n)          # [1, 8, L]
+    prod = mm.mul_mod_barrett(
+        jnp.broadcast_to(un, (c, 8, L)), w_ref[0], p, mu)
+    o_ref[...] = _inv_sweep_folded_lazy(
+        prod, wi, ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
 def _ntt_mul_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
@@ -433,6 +590,27 @@ def mul_by_ntt_operand(u: jax.Array, w_ntt: jax.Array, pt: PallasNTTTables,
     s = pt.fwd_w.shape[1]
     grid = (k,)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if lazy and n >= 1024:
+        L = n // 8
+        tablef = pl.BlockSpec((1, s, 8, L), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        d_uf = pl.BlockSpec((1, 1, 8, L), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        d_wf = pl.BlockSpec((1, c, 8, L), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            _ntt_mul_kernel_folded,
+            grid=grid,
+            in_specs=[smem, smem, smem, smem, tablef, tablef, tablef,
+                      tablef, d_uf, d_wf],
+            out_specs=d_wf,
+            out_shape=jax.ShapeDtypeStruct((k, c, 8, L), jnp.uint32),
+            interpret=interpret,
+        )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup,
+          pt.fwd_w.reshape(k, s, 8, L), pt.fwd_w_sh.reshape(k, s, 8, L),
+          pt.inv_w.reshape(k, s, 8, L), pt.inv_w_sh.reshape(k, s, 8, L),
+          u.reshape(k, 1, 8, L), w_ntt.reshape(k, c, 8, L))
+        return out.reshape(k, c, n)
     table = pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     d_u = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
@@ -521,6 +699,28 @@ def mul_by_ntt_operand_batch(u: jax.Array, w_ntt: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def _keyswitch_kernel_folded(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
+                             fwsh_ref, iw_ref, iwsh_ref, d_ref, keys_ref,
+                             o_ref):
+    """Folded-layout keyswitch_fused: d [kd, 8, L], keys [1, kd, 2, 8, L]."""
+    L = d_ref.shape[-1]
+    n = 8 * L
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    wf = lambda s: (fw_ref[0, s][None], fwsh_ref[0, s][None])
+    wi = lambda s: (iw_ref[0, s][None], iwsh_ref[0, s][None])
+    dr = mm.barrett_reduce_u32(d_ref[...], p, mu)            # [kd, 8, L]
+    f = _fwd_sweep_folded_lazy(dr, wf, p, n)
+    k0 = keys_ref[0, :, 0]                                   # [kd, 8, L]
+    k1 = keys_ref[0, :, 1]
+    acc0 = mm.add_mod_tree(mm.mul_mod_barrett(f, k0, p, mu), p, axis=0)
+    acc1 = mm.add_mod_tree(mm.mul_mod_barrett(f, k1, p, mu), p, axis=0)
+    acc = jnp.concatenate([acc0, acc1], axis=0)              # [2, 8, L]
+    o_ref[...] = _inv_sweep_folded_lazy(
+        acc, wi, ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
+
+
 def _keyswitch_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
                       iw_ref, iwsh_ref, d_ref, keys_ref, o_ref, *, lazy=False):
     n = d_ref.shape[-1]
@@ -556,12 +756,37 @@ def keyswitch_fused(d: jax.Array, keys_t: jax.Array, pt: PallasNTTTables,
     leave VMEM — this is the relinearization/rotation critical path
     (reference relin spec docs/ARCHITECTURE.md:319-327, key_switch decl
     include/fhe.cuh:134-135) with zero inter-kernel HBM round trips.
+    n >= 1024 runs the sublane-folded layout (kd rows fill 8*kd sublane
+    rows instead of kd — see _use_folded).
     Bit-exact with the composed bfv path (tests/test_pallas.py)."""
     k, kd, two, n = keys_t.shape
     assert two == 2 and d.shape == (kd, n)
     s = pt.fwd_w.shape[1]
     grid = (k,)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if lazy and n >= 1024:
+        L = n // 8
+        tablef = pl.BlockSpec((1, s, 8, L), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        d_in = pl.BlockSpec((kd, 8, L), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        d_keys = pl.BlockSpec((1, kd, 2, 8, L), lambda i: (i, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dout = pl.BlockSpec((1, 2, 8, L), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            _keyswitch_kernel_folded,
+            grid=grid,
+            in_specs=[smem, smem, smem, smem, tablef, tablef, tablef,
+                      tablef, d_in, d_keys],
+            out_specs=dout,
+            out_shape=jax.ShapeDtypeStruct((k, 2, 8, L), jnp.uint32),
+            interpret=interpret,
+        )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup,
+          pt.fwd_w.reshape(k, s, 8, L), pt.fwd_w_sh.reshape(k, s, 8, L),
+          pt.inv_w.reshape(k, s, 8, L), pt.inv_w_sh.reshape(k, s, 8, L),
+          d.reshape(kd, 8, L), keys_t.reshape(k, kd, 2, 8, L))
+        return out.reshape(k, 2, n)
     table = pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     d_in = pl.BlockSpec((kd, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -584,6 +809,28 @@ def keyswitch_fused(d: jax.Array, keys_t: jax.Array, pt: PallasNTTTables,
 # ---------------------------------------------------------------------------
 # fused ciphertext tensor product: fwd(x), fwd(y), pointwise, inv — ONE kernel
 # ---------------------------------------------------------------------------
+
+
+def _tensor_kernel_folded(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
+                          fwsh_ref, iw_ref, iwsh_ref, x_ref, y_ref, o_ref):
+    """Folded-layout tensor product: x/y [1, 2, 8, L] -> o [1, 3, 8, L]."""
+    L = x_ref.shape[-1]
+    n = 8 * L
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    wf = lambda s: (fw_ref[0, s][None], fwsh_ref[0, s][None])
+    wi = lambda s: (iw_ref[0, s][None], iwsh_ref[0, s][None])
+    xy = jnp.concatenate([x_ref[0], y_ref[0]], axis=0)      # [4, 8, L]
+    f = _fwd_sweep_folded_lazy(xy, wf, p, n)
+    a0, a1, b0, b1 = f[0:1], f[1:2], f[2:3], f[3:4]
+    c0 = mm.mul_mod_barrett(a0, b0, p, mu)
+    c2 = mm.mul_mod_barrett(a1, b1, p, mu)
+    c1 = mm.add_mod(mm.mul_mod_barrett(a0, b1, p, mu),
+                    mm.mul_mod_barrett(a1, b0, p, mu), p)
+    prod = jnp.concatenate([c0, c1, c2], axis=0)            # [3, 8, L]
+    o_ref[...] = _inv_sweep_folded_lazy(
+        prod, wi, ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
 def _tensor_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
@@ -625,6 +872,27 @@ def tensor_product(x: jax.Array, y: jax.Array, pt: PallasNTTTables,
     s = pt.fwd_w.shape[1]
     grid = (k,)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if lazy and n >= 1024:
+        L = n // 8
+        tablef = pl.BlockSpec((1, s, 8, L), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dinf = pl.BlockSpec((1, 2, 8, L), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        doutf = pl.BlockSpec((1, 3, 8, L), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            _tensor_kernel_folded,
+            grid=grid,
+            in_specs=[smem, smem, smem, smem, tablef, tablef, tablef,
+                      tablef, dinf, dinf],
+            out_specs=doutf,
+            out_shape=jax.ShapeDtypeStruct((k, 3, 8, L), jnp.uint32),
+            interpret=interpret,
+        )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup,
+          pt.fwd_w.reshape(k, s, 8, L), pt.fwd_w_sh.reshape(k, s, 8, L),
+          pt.inv_w.reshape(k, s, 8, L), pt.inv_w_sh.reshape(k, s, 8, L),
+          x.reshape(k, 2, 8, L), y.reshape(k, 2, 8, L))
+        return out.reshape(k, 3, n)
     table = pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     din = pl.BlockSpec((1, 2, n), lambda i: (i, 0, 0),

@@ -960,9 +960,34 @@ def _eval_perm_host(n: int, g: int):
     return idx
 
 
+def hoisted_galois_keys(ctx: SchemeContext, gal_keys: GaloisKeys, elements,
+                        level: int = 0, bgv: bool = False,
+                        keys_at_level: bool = False) -> jax.Array:
+    """Pre-permuted, stacked key material for apply_galois_hoisted's fast
+    path: [k, kd, B, 2, n] with element b's keys inverse-eval-permuted
+    (sum_j perm_g(F_j)*K_j == perm_g(sum_j F_j * inv_perm_g(K_j))).
+
+    The permutation gathers are the expensive part of a hoisted call —
+    precompute ONCE per (keys, elements, level) and pass as ``pre_keys``
+    for repeated rotations of fresh ciphertexts (the FHE wrapper caches
+    this automatically)."""
+    keys_per_g = [
+        gal_keys.data[g] if keys_at_level
+        else _switch_keys_down(ctx, gal_keys.data[g], level, bgv)
+        for g in elements]
+    return jnp.stack(
+        [jnp.take(jnp.transpose(kk, (1, 0, 2, 3)),
+                  jnp.asarray(_eval_perm_inv_host(ctx.n, int(g))),
+                  axis=-1)
+         for g, kk in zip(elements, keys_per_g)],
+        axis=2)                                        # [k, kd, B, 2, n]
+
+
 def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
                          gal_keys: GaloisKeys, bgv: bool = False,
-                         keys_at_level: bool = False) -> list[Ciphertext]:
+                         keys_at_level: bool = False,
+                         pre_keys: jax.Array | None = None
+                         ) -> list[Ciphertext]:
     """Many automorphisms of ONE ciphertext sharing a single gadget
     decomposition ("hoisting", SEAL/HElib-style) — the digit decomposition
     + its k NTTs are computed once; each element then costs only an
@@ -985,27 +1010,19 @@ def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
     nb = _b_of(ctx, level,
                _noise.add(_noise.galois(_v_of(ctx, ct)),
                           _noise.keyswitch_add(ctx.params, level)))
-    keys_per_g = [
-        gal_keys.data[g] if keys_at_level
-        else _switch_keys_down(ctx, gal_keys.data[g], level, bgv)
-        for g in elements]
     if ctx.use_pallas and len(elements) > 1:
         # Batched fast path with the automorphism folded into the KEYS:
         #   sum_j perm_g(F_j) . K_j = perm_g( sum_j F_j . inv_perm_g(K_j) )
         # so the shared NTT-domain digits flow to every element UNGATHERED
         # (the r2 hoisted path lost to plain rotation because its
         # per-element NTT-domain gathers cost more than the saved
-        # transforms).  The pre-permuted keys are loop-invariant — XLA
-        # hoists their gathers out of any reuse loop — and the only
-        # per-element data movement left is ONE coefficient-domain
-        # automorphism of the finished [k, 2, n] output (which also
-        # absorbs the phi_g(c0) the plain path pays anyway).
-        keys_st = jnp.stack(
-            [jnp.take(jnp.transpose(kk, (1, 0, 2, 3)),
-                      jnp.asarray(_eval_perm_inv_host(ctx.n, int(g))),
-                      axis=-1)
-             for g, kk in zip(elements, keys_per_g)],
-            axis=2)                                    # [k, kd, B, 2, n]
+        # transforms).  The pre-permuted keys come from hoisted_galois_keys
+        # — pass pre_keys for repeated use — and the only per-element data
+        # movement left is ONE coefficient-domain automorphism of the
+        # finished [k, 2, n] output (which also absorbs the phi_g(c0) the
+        # plain path pays anyway), on the folded-affine fast path.
+        keys_st = (pre_keys if pre_keys is not None else hoisted_galois_keys(
+            ctx, gal_keys, elements, level, bgv, keys_at_level))
         delta_b = _ntt_pl.ks_inner_batch(
             d_ntt[:, :, None, :], keys_st,
             _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
@@ -1019,6 +1036,10 @@ def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
                 ctx, jnp.concatenate([raw0, raw[:, 1:]], axis=1), g)
             outs.append(ct.replace(data=data, noise_budget=nb))
         return outs
+    keys_per_g = [
+        gal_keys.data[g] if keys_at_level
+        else _switch_keys_down(ctx, gal_keys.data[g], level, bgv)
+        for g in elements]
     outs = []
     for g, keys in zip(elements, keys_per_g):
         perm = jnp.asarray(_eval_perm_host(ctx.n, int(g)))

@@ -534,3 +534,70 @@ def test_modmul_chain_matches_composed():
         for _ in range(5):
             want = step(want)
         np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_folded_layout_kernels_match_flat():
+    """The sublane-folded sweeps (n >= 1024: [bt, 8, n/8] rows, row stages
+    as sublane rolls) must be bit-exact with the flat-layout kernels for
+    every fused kernel that dispatches on them."""
+    from fhe_tpu.ops import modmath as mm
+    n, k = 1024, 3
+    ps, tb, pt, a = make(n, k, 1)
+    # forward / inverse
+    got = np.asarray(npal.ntt_forward(a, pt, interpret=True, folded=True))
+    want = np.asarray(npal.ntt_forward(a, pt, interpret=True, folded=False))
+    np.testing.assert_array_equal(got, want)
+    gi = np.asarray(npal.ntt_inverse(jnp.asarray(got), pt, interpret=True,
+                                     folded=True))
+    np.testing.assert_array_equal(gi, np.asarray(a))
+    # tensor product (auto-folded at n >= 1024)
+    x = jnp.asarray(np.stack([
+        RNG.integers(0, p, (2, n), dtype=np.uint32) for p in ps]))
+    y = jnp.asarray(np.stack([
+        RNG.integers(0, p, (2, n), dtype=np.uint32) for p in ps]))
+    got_tp = np.asarray(npal.tensor_product(x, y, pt, interpret=True))
+    want_tp = np.asarray(npal.tensor_product(x, y, pt, interpret=True,
+                                             lazy=False))  # flat eager
+    np.testing.assert_array_equal(got_tp, want_tp)
+    # fused key switch
+    d = jnp.asarray(np.stack(
+        [RNG.integers(0, p, n, dtype=np.uint32) for p in ps]))
+    keys_t = jnp.asarray(np.stack([
+        RNG.integers(0, p, (k, 2, n), dtype=np.uint32) for p in ps]))
+    got_ks = np.asarray(npal.keyswitch_fused(d, keys_t, pt, interpret=True))
+    want_ks = np.asarray(npal.keyswitch_fused(d, keys_t, pt, interpret=True,
+                                              lazy=False))
+    np.testing.assert_array_equal(got_ks, want_ks)
+    # fused NTT-operand product
+    u = jnp.asarray(np.stack([
+        RNG.integers(0, p, (1, n), dtype=np.uint32) for p in ps]))
+    w = jnp.asarray(np.stack([
+        RNG.integers(0, p, (2, n), dtype=np.uint32) for p in ps]))
+    got_mo = np.asarray(npal.mul_by_ntt_operand(u, w, pt, interpret=True))
+    want_mo = np.asarray(npal.mul_by_ntt_operand(u, w, pt, interpret=True,
+                                                 lazy=False))
+    np.testing.assert_array_equal(got_mo, want_mo)
+
+
+def test_decrypt_fused_folded_matches_flat():
+    """decrypt_fused's folded single-ciphertext path (bt < 8, n >= 1024)
+    == the composed decrypt."""
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    params = make_scheme_params(SecurityParams(
+        poly_degree=1024, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=False)
+    key = jrandom.PRNGKey(11)
+    pk, sk = bfv.keygen(ctx, jrandom.fold_in(key, 0))
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    ct = bfv.encrypt(ctx, jrandom.fold_in(key, 1), pk, enc.encode([7, 9]))
+    pt = npal.build_pallas_tables(params.n, params.q_primes)
+    got = np.asarray(dpal.decrypt_fused(
+        ct.data[:, 0:1], ct.data[:, 1:2], sk.data, pt, ctx.dec_levels[0],
+        fermat=True, interpret=True))
+    want = np.asarray(bfv.decrypt(ctx, ct, sk).data)
+    np.testing.assert_array_equal(got[0], want)
