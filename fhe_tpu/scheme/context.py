@@ -212,11 +212,17 @@ def make_context(params: SchemeParams | None = None, use_pallas: bool | None = N
     auto (on for TPU backends when n >= 256).
     use_mxu: route the multiply tensor-product transforms through the MXU
     four-step engine instead of the fused single-kernel Pallas tensor
-    product.  Default: OFF — measured head-to-head on v5e at n=8192/k=3
-    (BENCH_r02: fused Pallas multiply 0.166 ms vs MXU 0.242 ms; batched
-    NTT 1.8 us/poly vs 8.4 us), the VPU path wins every regime the bench
-    covers; the MXU engine remains available for explicit opt-in and
-    research."""
+    product.  Default: OFF — the full interleaved regime sweep
+    (scripts/mxu_ab.py -> MXU_AB.json, v5e, median-of-7 A/B slopes) has
+    the VPU path winning ALL 12 configurations: forward NTT over
+    n in {8192, 16384, 32768} x k in {3, 8} x batch in {1, 64} (e.g.
+    batched n=8192/k=3: 1.5 vs 7.4 us/poly; n=16384/k=8 batched: 9.2 vs
+    297 us) and full multiply+relin at (8192, k3) 65 vs 167 us,
+    (16384, k3) 155 vs 740, (8192, k8) 256 vs 466.  Conclusion of record:
+    the VPU always wins on v5e — int8-digit emulation costs the MXU ~16
+    matmuls per modular matmul while the folded VPU butterflies stay
+    O(n log n); the engine remains available for explicit opt-in and for
+    hardware generations with cheaper int paths."""
     if params is None:
         params = make_scheme_params(SecurityParams(**security_kw))
     if use_pallas is None:
