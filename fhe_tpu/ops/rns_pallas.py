@@ -1,0 +1,209 @@
+"""Fused Pallas kernels for the BEHZ base conversions.
+
+The jnp conversions (ops/rns.py) lower to ~8-15 separate XLA passes each
+(digit scale, the [l, k, B, n] term tensor, the add tree, the correction
+lanes) — every pass a full HBM round trip.  Each conversion is local per
+DESTINATION row given the full source block (k rows, a few hundred KB), so
+one pallas_call with the grid over dst primes keeps everything in VMEM:
+step j recomputes the (cheap) source digits and accumulates its own row.
+
+Three kernels cover the BEHZ multiply's conversion steps (SURVEY §3.4):
+  * sm_mrq_fused       — exact centered lift q -> Bsk (m_tilde correction)
+  * fast_floor_fused   — floor(t*x/q) - alpha in Bsk (conv + sub + scale)
+  * fast_bconv_sk_fused— exact Shenoy-Kumaresan Bsk -> q
+
+Each is bit-exact with its ops/rns.py counterpart (tests/test_pallas.py)
+and dispatched from scheme/bfv.py on Pallas contexts.
+
+Measured verdict (v5e, fair interleaved A/B with both operands varying,
+full multiply+relin at n=8192/k=3): fused 83.1 us vs jnp 84.5 us — a
+WASH.  XLA already auto-fuses these memory-bound elementwise trees well;
+the kernels trade its multi-pass HBM traffic for per-dst-row digit
+recompute plus kernel launches.  They stay wired because (a) the single
+sm_mrq_fused call lifts BOTH multiply operands (and the whole batch in
+multiply_batch) where the jnp path vmapped per operand, and (b) the
+dispatch count and compiled-program size shrink — but do not expect a
+latency win from them.
+
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import modmath as mm
+from .rns import FastFloorConsts, SKConsts, SmMRqConsts
+
+_U = np.uint32
+_MASK16 = np.uint32(0xFFFF)
+
+
+def _digits(x, inv, inv_sh, p_src):
+    """y_i = [x_i * inv_i]_{p_i} rows inside the kernel: x [k, B, n]."""
+    k = x.shape[0]
+    return [mm.mul_mod_shoup(x[i], inv[i, 0], inv_sh[i, 0], p_src[i, 0])
+            for i in range(k)]
+
+
+def _accum(ys, w_ref, wsh_ref, j, c):
+    """sum_i y_i * w[j, i] mod c with a pairwise tree (log depth)."""
+    terms = [mm.mul_mod_shoup(y, w_ref[j, i], wsh_ref[j, i], c)
+             for i, y in enumerate(ys)]
+    while len(terms) > 1:
+        nxt = [mm.add_mod(terms[m], terms[m + 1], c)
+               for m in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def _smq_kernel(psrc_ref, inv_ref, invsh_ref, phat_ref, phatsh_ref,
+                pmt_ref, pdst_ref, qmod_ref, qmodsh_ref, invmt_ref,
+                invmtsh_ref, sc_ref, x_ref, o_ref):
+    j = pl.program_id(0)
+    c = pdst_ref[j, 0]
+    ys = _digits(x_ref[...], inv_ref, invsh_ref, psrc_ref)
+    conv = _accum(ys, phat_ref, phatsh_ref, j, c)
+    # m_tilde lane: mod-2^16 accumulate + alpha, centered
+    amt = jnp.zeros_like(ys[0])
+    for i, y in enumerate(ys):
+        amt = (amt + (y & _MASK16) * pmt_ref[i, 0]) & _MASK16
+    alpha = (amt * sc_ref[0, 0]) & _MASK16            # inv_q_mt
+    alpha_mod = jnp.where(alpha < _U(1 << 15), alpha,
+                          c - (_U(1 << 16) - alpha))
+    aq = mm.mul_mod_shoup(alpha_mod, qmod_ref[j, 0], qmodsh_ref[j, 0], c)
+    centered = mm.sub_mod(conv, aq, c)
+    o_ref[...] = mm.mul_mod_shoup(
+        centered, invmt_ref[j, 0], invmtsh_ref[j, 0], c)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sm_mrq_fused(x: jax.Array, sc: SmMRqConsts,
+                 interpret: bool = False) -> jax.Array:
+    """[k, B, n] residues in q -> centered lift in Bsk [l, B, n], ONE
+    kernel (grid over Bsk rows).  Bit-exact with rns.sm_mrq."""
+    k, B, n = x.shape
+    cc = sc.conv
+    l = cc.p_dst.shape[0]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    xin = pl.BlockSpec((k, B, n), lambda j: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((1, B, n), lambda j: (j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _smq_kernel,
+        grid=(l,),
+        in_specs=[smem] * 12 + [xin],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((l, B, n), jnp.uint32),
+        interpret=interpret,
+    )(cc.p_src[:, None], sc.mt_times_inv_phat[:, None],
+      sc.mt_times_inv_phat_shoup[:, None], cc.phat_mod_dst,
+      cc.phat_shoup_dst, sc.phat_mod_mt[:, None], cc.p_dst[:, None],
+      sc.q_mod_dst[:, None], sc.q_shoup_dst[:, None],
+      sc.inv_mt_dst[:, None], sc.inv_mt_shoup_dst[:, None],
+      sc.inv_q_mt[None, None], x)
+
+
+def _floor_kernel(psrc_ref, inv_ref, invsh_ref, phat_ref, phatsh_ref,
+                  pdst_ref, invq_ref, invqsh_ref, txq_ref, txb_ref, o_ref):
+    j = pl.program_id(0)
+    c = pdst_ref[j, 0]
+    ys = _digits(txq_ref[...], inv_ref, invsh_ref, psrc_ref)
+    conv = _accum(ys, phat_ref, phatsh_ref, j, c)
+    diff = mm.sub_mod(txb_ref[0], conv, c)
+    o_ref[...] = mm.mul_mod_shoup(
+        diff, invq_ref[j, 0], invqsh_ref[j, 0], c)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_floor_fused(tx_q: jax.Array, tx_bsk: jax.Array,
+                     fc: FastFloorConsts,
+                     interpret: bool = False) -> jax.Array:
+    """floor(t*x/q) - alpha in Bsk, ONE kernel.  Bit-exact with
+    rns.fast_floor."""
+    k, B, n = tx_q.shape
+    cc = fc.conv
+    l = cc.p_dst.shape[0]
+    assert tx_bsk.shape == (l, B, n)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    xin = pl.BlockSpec((k, B, n), lambda j: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, B, n), lambda j: (j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _floor_kernel,
+        grid=(l,),
+        in_specs=[smem] * 8 + [xin, row],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((l, B, n), jnp.uint32),
+        interpret=interpret,
+    )(cc.p_src[:, None], cc.inv_phat[:, None], cc.inv_phat_shoup[:, None],
+      cc.phat_mod_dst, cc.phat_shoup_dst, cc.p_dst[:, None],
+      fc.inv_q_dst[:, None], fc.inv_q_shoup_dst[:, None], tx_q, tx_bsk)
+
+
+def _sk_kernel(paux_ref, inv_ref, invsh_ref, phat_ref, phatsh_ref,
+               phsk_ref, phsksh_ref, pdst_ref, bmod_ref, bmodsh_ref,
+               sc_ref, xaux_ref, xmsk_ref, o_ref):
+    j = pl.program_id(0)
+    c = pdst_ref[j, 0]
+    m_sk = sc_ref[0, 0]
+    inv_b = sc_ref[0, 1]
+    inv_b_sh = sc_ref[0, 2]
+    ys = _digits(xaux_ref[...], inv_ref, invsh_ref, paux_ref)
+    conv_q = _accum(ys, phat_ref, phatsh_ref, j, c)
+    # m_sk lane (row 0 of the [1, l] conv_sk tables) + centered alpha
+    terms = [mm.mul_mod_shoup(y, phsk_ref[0, i], phsksh_ref[0, i], m_sk)
+             for i, y in enumerate(ys)]
+    while len(terms) > 1:
+        nxt = [mm.add_mod(terms[m], terms[m + 1], m_sk)
+               for m in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    alpha = mm.mul_mod_shoup(
+        mm.sub_mod(terms[0], xmsk_ref[0], m_sk), inv_b, inv_b_sh, m_sk)
+    half = m_sk >> 1
+    alpha_mod = jnp.where(alpha <= half, alpha, c - (m_sk - alpha))
+    aB = mm.mul_mod_shoup(alpha_mod, bmod_ref[j, 0], bmodsh_ref[j, 0], c)
+    o_ref[...] = mm.sub_mod(conv_q, aB, c)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_bconv_sk_fused(x_bsk: jax.Array, sk: SKConsts,
+                        interpret: bool = False) -> jax.Array:
+    """Exact Shenoy-Kumaresan Bsk -> q, ONE kernel (grid over q rows).
+    Bit-exact with rns.fast_bconv_sk."""
+    lp1, B, n = x_bsk.shape
+    l = lp1 - 1
+    kq = sk.conv_q.p_dst.shape[0]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    xin = pl.BlockSpec((l, B, n), lambda j: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mrow = pl.BlockSpec((1, B, n), lambda j: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((1, B, n), lambda j: (j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    scalars = jnp.stack([sk.m_sk, sk.inv_B_sk,
+                         sk.inv_B_sk_shoup]).astype(jnp.uint32)[None]
+    return pl.pallas_call(
+        _sk_kernel,
+        grid=(kq,),
+        in_specs=[smem] * 11 + [xin, mrow],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((kq, B, n), jnp.uint32),
+        interpret=interpret,
+    )(sk.conv_q.p_src[:, None], sk.conv_q.inv_phat[:, None],
+      sk.conv_q.inv_phat_shoup[:, None], sk.conv_q.phat_mod_dst,
+      sk.conv_q.phat_shoup_dst, sk.conv_sk.phat_mod_dst,
+      sk.conv_sk.phat_shoup_dst, sk.conv_q.p_dst[:, None],
+      sk.B_mod_q[:, None], sk.B_shoup_q[:, None], scalars,
+      x_bsk[:-1], x_bsk[-1:])

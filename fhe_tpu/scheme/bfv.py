@@ -512,21 +512,29 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
     a = to_coeff(ctx, a)
     b = to_coeff(ctx, b)
     tb_q, tb_bsk = _tb(ctx, level), _tb_bsk(ctx, level)
-
-    # Step 1: centered lift of all 4 components into Bsk.
     smq = ctx.smq_levels[level]
-    lift_a = _rns.sm_mrq(a.data, smq)   # [l+1, 2, n]
-    lift_b = _rns.sm_mrq(b.data, smq)
 
-    # Steps 2+3: tensor products in both bases, scaled by t.  Pallas
-    # contexts fold the t-scale into the INTT normalization constant
-    # (context.ntt_mul_pl_levels — measured 8% multiply win on v5e);
-    # other engines compose per base and scale explicitly.
     if ctx.use_pallas and not ctx.use_mxu:
+        # fused pipeline: each BEHZ step is ONE kernel — the centered lift
+        # of BOTH operands in one call (rns_pallas.sm_mrq_fused), the two
+        # tensor products with the t-scale folded into the INTT
+        # normalization (context.ntt_mul_pl_levels), the floor and the
+        # Shenoy-Kumaresan back-conversion (rns_pallas.*_fused) — no
+        # multi-pass XLA elementwise chains between kernels.
+        from ..ops import rns_pallas as _rns_pl
+        lift = _rns_pl.sm_mrq_fused(
+            jnp.concatenate([a.data, b.data], axis=1), smq)  # [l+1, 4, n]
         tq_pl, tbsk_pl = ctx.ntt_mul_pl_levels[level]
         tx_q = _ntt_pl.tensor_product(a.data, b.data, tq_pl)
-        tx_bsk = _ntt_pl.tensor_product(lift_a, lift_b, tbsk_pl)
+        tx_bsk = _ntt_pl.tensor_product(lift[:, :2], lift[:, 2:], tbsk_pl)
+        floored = _rns_pl.fast_floor_fused(tx_q, tx_bsk,
+                                           ctx.floor_levels[level])
+        out = _rns_pl.fast_bconv_sk_fused(floored, ctx.sk_levels[level])
     else:
+        # Step 1: centered lift of all 4 components into Bsk.
+        lift_a = _rns.sm_mrq(a.data, smq)   # [l+1, 2, n]
+        lift_b = _rns.sm_mrq(b.data, smq)
+        # Steps 2+3: tensor products in both bases, scaled by t.
         tens_q = _dispatch_tensor_product(ctx, a.data, b.data, level)
         tens_bsk = _dispatch_tensor_product(ctx, lift_a, lift_b, level,
                                             base="bsk")
@@ -537,10 +545,9 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
         tx_bsk = mm.mul_mod_barrett(
             tens_bsk, jnp.broadcast_to(t_mod_q, tens_bsk.shape), _p3(tb_bsk),
             tb_bsk.mu[:, None, None])
-    floored = _rns.fast_floor(tx_q, tx_bsk, ctx.floor_levels[level])
-
-    # Step 4: exact conversion back to q_L.
-    out = _rns.fast_bconv_sk(floored, ctx.sk_levels[level])  # [k-L, 3, n]
+        floored = _rns.fast_floor(tx_q, tx_bsk, ctx.floor_levels[level])
+        # Step 4: exact conversion back to q_L.
+        out = _rns.fast_bconv_sk(floored, ctx.sk_levels[level])  # [k-L,3,n]
     return Ciphertext(
         data=out, level=level, is_ntt_form=False,
         noise_budget=_b_of(ctx, level, _noise.bfv_multiply(
@@ -706,20 +713,35 @@ def multiply_batch(ctx: SchemeContext, cts_a: list, cts_b: list,
     if not ctx.use_pallas or ctx.use_mxu:
         return [multiply(ctx, a, b, rlk, keys_at_level)
                 for a, b in zip(cts_a, cts_b)]
+    from ..ops import rns_pallas as _rns_pl
+    B = len(cts_a)
     a_st = jnp.stack([to_coeff(ctx, a).data for a in cts_a])  # [B, k, 2, n]
     b_st = jnp.stack([to_coeff(ctx, b).data for b in cts_b])
     smq = ctx.smq_levels[level]
-    lift_a = jax.vmap(_rns.sm_mrq, in_axes=(0, None))(a_st, smq)
-    lift_b = jax.vmap(_rns.sm_mrq, in_axes=(0, None))(b_st, smq)
+    kl = ctx.k - level
+    n = ctx.n
+    # fused conversions over the flattened (ct, component) middle axis
+    flat = lambda t: jnp.transpose(t, (1, 0, 2, 3)).reshape(kl, -1, n)
+    unflat3 = lambda t, kk: jnp.transpose(
+        t.reshape(kk, B, 3, n), (1, 0, 2, 3))
+    lift = _rns_pl.sm_mrq_fused(
+        jnp.concatenate([flat(a_st), flat(b_st)], axis=1), smq)
+    kb = lift.shape[0]
+    lift_a = jnp.transpose(lift[:, :2 * B].reshape(kb, B, 2, n),
+                           (1, 0, 2, 3))
+    lift_b = jnp.transpose(lift[:, 2 * B:].reshape(kb, B, 2, n),
+                           (1, 0, 2, 3))
     to_k = lambda t: jnp.transpose(t, (1, 2, 0, 3))    # [B,k,c,n]->[k,c,B,n]
     from_k = lambda t: jnp.transpose(t, (2, 0, 1, 3))
     tq_pl, tbsk_pl = ctx.ntt_mul_pl_levels[level]
     tx_q = _ntt_pl.tensor_product_batch(to_k(a_st), to_k(b_st), tq_pl)
     tx_bsk = _ntt_pl.tensor_product_batch(to_k(lift_a), to_k(lift_b), tbsk_pl)
-    floored = jax.vmap(_rns.fast_floor, in_axes=(0, 0, None))(
-        from_k(tx_q), from_k(tx_bsk), ctx.floor_levels[level])
-    out3 = jax.vmap(_rns.fast_bconv_sk, in_axes=(0, None))(
-        floored, ctx.sk_levels[level])                 # [B, k-L, 3, n]
+    floored = _rns_pl.fast_floor_fused(
+        from_k(tx_q).transpose(1, 0, 2, 3).reshape(kl, B * 3, n),
+        from_k(tx_bsk).transpose(1, 0, 2, 3).reshape(kb, B * 3, n),
+        ctx.floor_levels[level])
+    out3 = unflat3(_rns_pl.fast_bconv_sk_fused(
+        floored, ctx.sk_levels[level]), kl)            # [B, k-L, 3, n]
     # batched relinearization: one digit decomposition per ciphertext, one
     # fused kernel pass over all of them
     keys = (rlk.data if keys_at_level

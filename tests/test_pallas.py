@@ -13,16 +13,22 @@ from fhe_tpu import primes
 from fhe_tpu.ops import ntt as _ntt
 from fhe_tpu.ops import ntt_pallas as npal
 from fhe_tpu.ops import decrypt_pallas as dpal
+from fhe_tpu.ops import rns_pallas as rpal
 
 RNG = np.random.default_rng(31)
 
+_RNS_KERNELS = ("sm_mrq_fused", "fast_floor_fused", "fast_bconv_sk_fused")
+
 
 def _patch_interpret(monkeypatch, names):
-    """Force interpreter mode on the listed pallas entry points (CPU CI)."""
+    """Force interpreter mode on the listed pallas entry points (CPU CI).
+    The fused BEHZ conversion kernels are always included — any scheme
+    multiply on a use_pallas context dispatches onto them."""
     import functools as ft
 
-    for name in names:
-        mod = dpal if name == "decrypt_fused" else npal
+    for name in tuple(names) + _RNS_KERNELS:
+        mod = (dpal if name == "decrypt_fused"
+               else rpal if name in _RNS_KERNELS else npal)
         monkeypatch.setattr(mod, name,
                             ft.partial(getattr(mod, name), interpret=True))
 
@@ -601,3 +607,39 @@ def test_decrypt_fused_folded_matches_flat():
         fermat=True, interpret=True))
     want = np.asarray(bfv.decrypt(ctx, ct, sk).data)
     np.testing.assert_array_equal(got[0], want)
+
+
+def test_fused_behz_conversions_match_jnp():
+    """The one-kernel BEHZ conversions (rns_pallas) == the composed jnp
+    versions (ops/rns.py), bit-exact, at level-0 and level-1 constants."""
+    from fhe_tpu.ops import rns as _rns
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme.context import make_context
+
+    params = make_scheme_params(SecurityParams(
+        poly_degree=256, log_q=120, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=False)
+    n = params.n
+    for lvl in (0, 1):
+        kl = params.k - lvl
+        ps = params.q_primes[:kl]
+        x = jnp.asarray(np.stack([
+            RNG.integers(0, p, (3, n), dtype=np.uint32) for p in ps]))
+        smq = ctx.smq_levels[lvl]
+        got = np.asarray(rpal.sm_mrq_fused(x, smq, interpret=True))
+        want = np.asarray(jax.jit(_rns.sm_mrq)(x, smq))
+        np.testing.assert_array_equal(got, want, err_msg=f"sm_mrq lvl{lvl}")
+
+        fc = ctx.floor_levels[lvl]
+        kb = fc.conv.p_dst.shape[0]
+        bsk_ps = [int(v) for v in np.asarray(fc.conv.p_dst)]
+        xb = jnp.asarray(np.stack([
+            RNG.integers(0, p, (3, n), dtype=np.uint32) for p in bsk_ps]))
+        got = np.asarray(rpal.fast_floor_fused(x, xb, fc, interpret=True))
+        want = np.asarray(jax.jit(_rns.fast_floor)(x, xb, fc))
+        np.testing.assert_array_equal(got, want, err_msg=f"floor lvl{lvl}")
+
+        skc = ctx.sk_levels[lvl]
+        got = np.asarray(rpal.fast_bconv_sk_fused(xb, skc, interpret=True))
+        want = np.asarray(jax.jit(_rns.fast_bconv_sk)(xb, skc))
+        np.testing.assert_array_equal(got, want, err_msg=f"sk lvl{lvl}")
