@@ -713,35 +713,24 @@ def multiply_batch(ctx: SchemeContext, cts_a: list, cts_b: list,
     if not ctx.use_pallas or ctx.use_mxu:
         return [multiply(ctx, a, b, rlk, keys_at_level)
                 for a, b in zip(cts_a, cts_b)]
-    from ..ops import rns_pallas as _rns_pl
-    B = len(cts_a)
     a_st = jnp.stack([to_coeff(ctx, a).data for a in cts_a])  # [B, k, 2, n]
     b_st = jnp.stack([to_coeff(ctx, b).data for b in cts_b])
     smq = ctx.smq_levels[level]
-    kl = ctx.k - level
-    n = ctx.n
-    # fused conversions over the flattened (ct, component) middle axis
-    flat = lambda t: jnp.transpose(t, (1, 0, 2, 3)).reshape(kl, -1, n)
-    unflat3 = lambda t, kk: jnp.transpose(
-        t.reshape(kk, B, 3, n), (1, 0, 2, 3))
-    lift = _rns_pl.sm_mrq_fused(
-        jnp.concatenate([flat(a_st), flat(b_st)], axis=1), smq)
-    kb = lift.shape[0]
-    lift_a = jnp.transpose(lift[:, :2 * B].reshape(kb, B, 2, n),
-                           (1, 0, 2, 3))
-    lift_b = jnp.transpose(lift[:, 2 * B:].reshape(kb, B, 2, n),
-                           (1, 0, 2, 3))
+    # conversions stay the vmapped jnp chains here: routing them through
+    # the fused rns_pallas kernels needs [k, B*c, n] flattening transposes
+    # whose relayouts cost more than the kernels save (measured: batched
+    # multiply regressed 53 -> 77 us/op with them)
+    lift_a = jax.vmap(_rns.sm_mrq, in_axes=(0, None))(a_st, smq)
+    lift_b = jax.vmap(_rns.sm_mrq, in_axes=(0, None))(b_st, smq)
     to_k = lambda t: jnp.transpose(t, (1, 2, 0, 3))    # [B,k,c,n]->[k,c,B,n]
     from_k = lambda t: jnp.transpose(t, (2, 0, 1, 3))
     tq_pl, tbsk_pl = ctx.ntt_mul_pl_levels[level]
     tx_q = _ntt_pl.tensor_product_batch(to_k(a_st), to_k(b_st), tq_pl)
     tx_bsk = _ntt_pl.tensor_product_batch(to_k(lift_a), to_k(lift_b), tbsk_pl)
-    floored = _rns_pl.fast_floor_fused(
-        from_k(tx_q).transpose(1, 0, 2, 3).reshape(kl, B * 3, n),
-        from_k(tx_bsk).transpose(1, 0, 2, 3).reshape(kb, B * 3, n),
-        ctx.floor_levels[level])
-    out3 = unflat3(_rns_pl.fast_bconv_sk_fused(
-        floored, ctx.sk_levels[level]), kl)            # [B, k-L, 3, n]
+    floored = jax.vmap(_rns.fast_floor, in_axes=(0, 0, None))(
+        from_k(tx_q), from_k(tx_bsk), ctx.floor_levels[level])
+    out3 = jax.vmap(_rns.fast_bconv_sk, in_axes=(0, None))(
+        floored, ctx.sk_levels[level])                 # [B, k-L, 3, n]
     # batched relinearization: one digit decomposition per ciphertext, one
     # fused kernel pass over all of them
     keys = (rlk.data if keys_at_level
