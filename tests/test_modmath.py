@@ -129,3 +129,27 @@ def test_security_margin_warning():
         warnings.simplefilter("error")
         make_scheme_params(SecurityParams(poly_degree=8192, log_q=90))
     make_scheme_params.cache_clear()
+
+
+def test_ternary_fixed_weight_properties():
+    """The rejection-sampled fixed-weight ternary sampler: exactly h
+    nonzeros, values in {1, p-1}, and different keys give different
+    supports (smoke)."""
+    import jax
+    import jax.numpy as jnp
+    from fhe_tpu.ops import sampling
+
+    p = jnp.asarray([1073479681, 1073184769], dtype=jnp.uint32)
+    n, h = 1024, 64
+    supports = []
+    for seed in range(3):
+        v = sampling.ternary_rns(jax.random.PRNGKey(seed), p, 1, n, h)
+        v0 = np.asarray(v[0, 0])
+        nz = v0 != 0
+        assert int(nz.sum()) == h
+        assert set(np.unique(v0[nz])) <= {1, int(p[0]) - 1}
+        # rows agree across primes on the support and signs
+        v1 = np.asarray(v[1, 0])
+        assert ((v1 != 0) == nz).all()
+        supports.append(frozenset(np.nonzero(nz)[0].tolist()))
+    assert len(set(supports)) == 3
