@@ -6,6 +6,8 @@ replacement for the reference's doc-only multi-GPU RNS design,
 from .mesh import make_mesh, rns_sharding
 from .distributed_ntt import dist_ntt_forward, dist_ntt_inverse
 from .sharded import ShardedFHE, shard_batch
+from .shard_scheme import keyswitch_delta_psum, multiply_relin_shardmap
 
 __all__ = ["make_mesh", "rns_sharding", "dist_ntt_forward", "dist_ntt_inverse",
-           "ShardedFHE", "shard_batch"]
+           "ShardedFHE", "shard_batch", "multiply_relin_shardmap",
+           "keyswitch_delta_psum"]
