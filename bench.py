@@ -310,7 +310,7 @@ def main():
     got_r = fhe.decode(fhe.decrypt(fhe.rotate_rows(ct1, 1, gk), sk))
     assert list(got_r[:3]) == [10, 15, 20], got_r[:4]
     add_chain("rot", lambda a: bfv.rotate_rows(
-        ctx, ct1.replace(data=a), 1, gk).data, ct1.data, hi=150, lo=10)
+        ctx, ct1.replace(data=a), 1, gk).data, ct1.data, hi=405, lo=25)
 
     hoist_elems = tuple(pow(3, s, 2 * n) for s in range(1, 9))
     gk_h = fhe.galoiskey_gen(sk, elements=hoist_elems)
@@ -346,7 +346,7 @@ def main():
         d = ct1.data.at[0, 0, 0].set(c % jnp.uint32(3))
         return fold_u32(bfv.decrypt(ctx, ct1.replace(data=d), sk).data)
 
-    chains.append(KeyedChain("dec", dec_step, hi=305, lo=15))
+    chains.append(KeyedChain("dec", dec_step, hi=905, lo=45))
 
     pts8 = [pt] * 8
     chains.append(KeyedChain("enc_b8", lambda k, c: fold_u32(jnp.stack(
@@ -365,7 +365,7 @@ def main():
         ctx, ct1.replace(data=d), ct2).data, ct1.data, hi=20005, lo=1005)
 
     chains.append(KeyedChain("keygen", lambda k, c: fold_u32(
-        bfv.keygen(ctx, jrandom.fold_in(k, c))[0].data), hi=85, lo=5))
+        bfv.keygen(ctx, jrandom.fold_in(k, c))[0].data), hi=305, lo=15))
 
     # ---- modmul roofline: VMEM-resident Pallas chains ----
     REPS = 64
@@ -381,14 +381,37 @@ def main():
         # cheap17 = the roofline CALIBRATION probe: identical op count and
         # dependency shape to mul_mod_shoup_lazy with every multiply
         # replaced by an add — its rate is the empirical ceiling for any
-        # 17-op u32 elementwise chain on this VPU (see utils/ubench.py)
-        for variant in ("exact", "lazy", "cheap17"):
+        # 17-op u32 elementwise chain on this VPU (see utils/ubench.py).
+        # mul17 = the all-multiply twin: pure integer-multiply issue rate.
+        # Together they decompose the lazy modmul's [6 mul, 11 cheap] mix
+        # into per-op-class slot costs (pins down r3's 125%-of-calibrated
+        # anomaly: a mixed chain can beat an all-cheap chain if multiplies
+        # and cheap ops issue to different slots).
+        for variant in ("exact", "lazy", "cheap17", "mul17"):
             add_chain(
                 f"modmul_{variant}",
                 lambda v, _var=variant: ubench.modmul_chain(
                     v, np.uint32(wq), np.uint32(wq_sh), np.uint32(pq),
                     np.uint32(muq), reps=REPS, variant=_var),
                 xmm, hi=25, lo=3, div=float(mm_elems * REPS))
+        # ILP-exposed probes (VERDICT r3 next-step #1): ilp=k carries k
+        # INDEPENDENT chains per element, interleaved in program order.
+        # If these beat the ilp=1 rate per modmul, the single-chain number
+        # was latency-bound and the kernels have headroom; if they match,
+        # the single-chain rate IS the issue-throughput ceiling.
+        for k_ilp, hi_i, lo_i in ((2, 13, 3), (4, 7, 1)):
+            add_chain(
+                f"modmul_ilp{k_ilp}",
+                lambda v, _k=k_ilp: ubench.modmul_chain(
+                    v, np.uint32(wq), np.uint32(wq_sh), np.uint32(pq),
+                    np.uint32(muq), reps=REPS, variant="lazy", ilp=_k),
+                xmm, hi=hi_i, lo=lo_i, div=float(mm_elems * REPS * k_ilp))
+        add_chain(
+            "modmul_cheap17_ilp4",
+            lambda v: ubench.modmul_chain(
+                v, np.uint32(wq), np.uint32(wq_sh), np.uint32(pq),
+                np.uint32(muq), reps=REPS, variant="cheap17", ilp=4),
+            xmm, hi=7, lo=1, div=float(mm_elems * REPS * 4))
 
     # HLO op mix of one modmul (the roofline denominator), per variant
     w3 = jnp.full((1, 1, 1), np.uint32(wq))
@@ -496,7 +519,7 @@ def main():
     rows_ep = bsk_keys.pos[0]
     acc0 = jnp.concatenate([ct_bit.data[:, :1], ct_bit.data[:, 1:]], axis=1)
     add_chain("ext_prod", lambda acc: _bs._external_product(
-        fhe_bs.ctx, acc, rows_ep, 0), acc0, hi=605, lo=55)
+        fhe_bs.ctx, acc, rows_ep, 0), acc0, hi=2005, lo=105)
 
     # ======== sample everything, interleaved ========
     res = run_rounds(chains)
@@ -537,6 +560,30 @@ def main():
     if "modmul_cheap17" in res and "modmul_lazy" in res:
         cheap_rate = 1.0 / res["modmul_cheap17"][0]
         pct_calibrated = 100.0 * (1.0 / res["modmul_lazy"][0]) / cheap_rate
+
+    # Per-op-class calibration (r4): mul17 / cheap17 give the measured
+    # issue rate for a pure-multiply and a pure-cheap dependent chain; the
+    # predicted lazy-modmul time charges its [6 mul, 11 cheap] HLO mix each
+    # class's measured slot cost.  This model CAN'T be beaten by >100% the
+    # way the single cheap17 ratio was (r3's 125% anomaly: a mixed chain
+    # overlaps multiply and cheap issue slots that an all-cheap chain
+    # cannot).  measured/predicted is the roofline pct of record.
+    pct_mix = pred_gops = None
+    if all(f"modmul_{v}" in res for v in ("mul17", "cheap17", "lazy")):
+        r_mul_op = 17.0 / res["modmul_mul17"][0]     # mul ops/s per element
+        r_cheap_op = 17.0 / res["modmul_cheap17"][0]
+        n_mul, n_cheap = mix["lazy"]
+        t_pred = n_mul / r_mul_op + n_cheap / r_cheap_op
+        pred_gops = 1.0 / t_pred / 1e9
+        pct_mix = 100.0 * t_pred / res["modmul_lazy"][0]
+
+    # ILP verdict: do independent interleaved chains beat the single chain?
+    ilp_gops = {k: (1.0 / res[f"modmul_ilp{k}"][0] / 1e9)
+                for k in (2, 4) if f"modmul_ilp{k}" in res}
+    ceiling_binds = None
+    if ilp_gops and "modmul_lazy" in res:
+        base = 1.0 / res["modmul_lazy"][0] / 1e9
+        ceiling_binds = max(ilp_gops.values()) <= base * 1.05
 
     mul_s = res["mul"][0]
     ntt_s = res["ntt"][0]
@@ -588,6 +635,7 @@ def main():
         "leveled_per_prime_ratio": rnd(
             (res["mul_l1"][0] / (params.k - 1)) / (mul_s / params.k), 3),
         "jitter_pct": jitter,
+        "max_jitter_pct": max(jitter.values()) if jitter else None,
         "device": str(jax.devices()[0]),
         "n": n,
         "rns_primes": params.k,
@@ -596,11 +644,22 @@ def main():
         extra.update({
             "modmul_per_s": round(roof[best]["gops"] * 1e9, 1),
             "modmul_gops": rnd(roof[best]["gops"], 3),
-            "modmul_roofline_pct": rnd(pct_calibrated, 1),
+            "modmul_roofline_pct": rnd(pct_mix, 1),
+            "modmul_roofline_pct_vs_cheap17": rnd(pct_calibrated, 1),
             "modmul_roofline_pct_theoretical": rnd(roof[best]["pct"], 1),
+            "modmul_predicted_from_mix_gops": rnd(pred_gops, 3),
             "modmul_cheap17_gops": (rnd(1.0 / res["modmul_cheap17"][0] / 1e9,
                                         3) if "modmul_cheap17" in res
                                     else None),
+            "modmul_mul17_gops": (rnd(1.0 / res["modmul_mul17"][0] / 1e9, 3)
+                                  if "modmul_mul17" in res else None),
+            "modmul_ilp1_gops": rnd(roof.get("lazy", {}).get("gops"), 3),
+            "modmul_ilp2_gops": rnd(ilp_gops.get(2), 3),
+            "modmul_ilp4_gops": rnd(ilp_gops.get(4), 3),
+            "modmul_cheap17_ilp4_gops": (
+                rnd(1.0 / res["modmul_cheap17_ilp4"][0] / 1e9, 3)
+                if "modmul_cheap17_ilp4" in res else None),
+            "modmul_ilp_ceiling_binds": ceiling_binds,
             "modmul_roofline_gops": rnd(
                 VPU_PEAK_OPS / sum(roof[best]["mix"]) / 1e9, 1),
             "modmul_hlo_op_mix": roof[best]["mix"],
@@ -610,14 +669,42 @@ def main():
         })
 
     ops_per_s = 1.0 / mul_s
-    result = {
+    # Full detail (every metric + jitter map) goes to a side file and an
+    # EARLY stdout line; the LAST stdout line is the compact headline the
+    # driver parses (VERDICT r3 weak #1: r3's final line blew past the
+    # driver's tail capture and came back "parsed": null).  Keep it < 2 KB.
+    detail = {
         "metric": "bfv_ct_multiply_relin_n8192_k3",
         "value": round(ops_per_s, 3),
         "unit": "ops/s",
         "vs_baseline": round(ops_per_s / (1000.0 / BASELINE_MUL_MS), 3),
         "extra": extra,
     }
-    print(json.dumps(result))
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+
+    headline_keys = (
+        "multiply_relin_ms", "multiply_relin_ms_batched",
+        "multiply_relin_ms_k8", "multiply_relin_ms_n16384",
+        "forward_ntt_ms", "forward_ntt_ms_batched",
+        "encrypt_ms", "decrypt_ms", "decrypt_ms_batched",
+        "rotate_rows_ms", "rotate_hoisted_ms_per_rot",
+        "rotate_hoisted_ms_per_rot_k8", "rotate_rows_ms_k8",
+        "sum_slots_ms", "keygen_ms",
+        "bootstrap_ms_n1024", "bootstrap_ms_n1024_b8",
+        "external_product_us", "bgv_multiply_relin_ms",
+        "modmul_gops", "modmul_roofline_pct",
+        "modmul_roofline_pct_theoretical",
+        "modmul_ilp1_gops", "modmul_ilp2_gops", "modmul_ilp4_gops",
+        "modmul_cheap17_gops", "max_jitter_pct",
+        "device", "n", "rns_primes",
+    )
+    compact_extra = {k: extra[k] for k in headline_keys if k in extra}
+    result = dict(detail, extra=compact_extra)
+    line = json.dumps(result)
+    assert len(line) < 2048, f"headline line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import modmath as mm
 
 
-def _chain_kernel(sc_ref, x_ref, o_ref, *, reps, variant, unroll=1):
+def _chain_kernel(sc_ref, x_ref, o_ref, *, reps, variant, unroll=1, ilp=1):
     w = sc_ref[0, 0]
     ws = sc_ref[0, 1]
     p = sc_ref[0, 2]
@@ -61,27 +61,65 @@ def _chain_kernel(sc_ref, x_ref, o_ref, *, reps, variant, unroll=1):
             hi = hh + (mid >> 16) + (mid2 >> 16)
             lo = v + w
             return lo - (hi + p)
+    elif variant == "mul17":
+        # all-multiply twin of cheap17: 17 dependent u32 multiplies per
+        # step.  Its rate is the pure integer-multiply issue ceiling; with
+        # cheap17 it decomposes the lazy modmul's 6-mul/11-cheap mix into
+        # per-op-class slot costs (the r3 125%-of-calibrated anomaly).
+        # SQUARINGS, not constant multiplies: a chain of loop-invariant
+        # constant muls is associative mod 2^32 and the compiler folds it
+        # to one multiply (measured: the folded version reads 311 G
+        # steps/s = an impossible 5.3 T mul/s).  v*v can't fold.
+        def step(v):
+            for _ in range(16):
+                v = v * v
+            return v * w
     else:  # pragma: no cover
         raise ValueError(variant)
     # manual unroll: fewer loop-carried boundaries lets Mosaic overlap the
     # independent per-vreg chains (device A/B: unroll 8 at 8 block rows won
     # 206 vs 148 G modmul/s over the unrolled=1/16-row default)
-    def body(i, v):
-        for _ in range(unroll):
-            v = step(v)
-        return v
-    o_ref[...] = jax.lax.fori_loop(0, reps // unroll, body, x_ref[...])
+    #
+    # ilp > 1 carries `ilp` INDEPENDENT per-element chains (v, v+1, ...)
+    # and steps them interleaved in program order: if the single chain's
+    # rate was latency-bound (multiply latency not hidden across vregs),
+    # the interleaved chains will push total op throughput above the
+    # single-chain rate; if the rates match, the single-chain number IS the
+    # issue-throughput ceiling (VERDICT r3 next-step #1).
+    if ilp == 1:
+        def body(i, v):
+            for _ in range(unroll):
+                v = step(v)
+            return v
+        o_ref[...] = jax.lax.fori_loop(0, reps // unroll, body, x_ref[...])
+    else:
+        x0 = x_ref[...]
+        vs0 = tuple(x0 + np.uint32(j) for j in range(ilp))
+
+        def body(i, vs):
+            for _ in range(unroll):
+                vs = tuple(step(v) for v in vs)
+            return vs
+
+        vs = jax.lax.fori_loop(0, reps // unroll, body, vs0)
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = acc ^ v
+        o_ref[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("reps", "variant", "interpret",
-                                             "block_rows", "unroll"))
+                                             "block_rows", "unroll", "ilp"))
 def modmul_chain(x: jax.Array, w, w_sh, p, mu, reps: int,
                  variant: str = "exact", interpret: bool = False,
-                 block_rows: int = 8, unroll: int = 8) -> jax.Array:
+                 block_rows: int = 8, unroll: int = 8,
+                 ilp: int = 1) -> jax.Array:
     """`reps` data-dependent modmuls by the constant (w, w_sh) on a
     [rows, n] uint32 block, entirely in VMEM.  Returns the chained result
     (bit-exact with the composed jnp chain for each variant).
-    reps must be a multiple of `unroll`."""
+    reps must be a multiple of `unroll`.  With ilp=k, every element carries
+    k INDEPENDENT chains seeded x, x+1, ..., x+k-1 (total modmuls =
+    reps * k * x.size; output is the XOR fold of the k chain tails)."""
     rows, n = x.shape
     assert reps % unroll == 0
     bt = min(block_rows, rows)
@@ -89,7 +127,8 @@ def modmul_chain(x: jax.Array, w, w_sh, p, mu, reps: int,
     scalars = jnp.stack([jnp.uint32(w), jnp.uint32(w_sh), jnp.uint32(p),
                          jnp.uint32(mu)])[None]          # [1, 4] SMEM
     return pl.pallas_call(
-        functools.partial(_chain_kernel, reps=reps, variant=variant, unroll=unroll),
+        functools.partial(_chain_kernel, reps=reps, variant=variant,
+                          unroll=unroll, ilp=ilp),
         grid=(rows // bt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((bt, n), lambda b: (b, 0),

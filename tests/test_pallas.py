@@ -542,6 +542,43 @@ def test_modmul_chain_matches_composed():
         np.testing.assert_array_equal(got, np.asarray(want))
 
 
+def test_modmul_chain_ilp_matches_composed():
+    """ilp=k carries k independent chains seeded x, x+1, ... and XOR-folds
+    the tails — the ILP-exposed roofline probe (VERDICT r3 #1)."""
+    from fhe_tpu.ops import modmath as mm
+    from fhe_tpu.utils import ubench
+
+    p = 1073479681
+    w = 123456789 % p
+    w_sh = mm.shoup_precompute(w, p)
+    mu = mm.barrett_precompute(p)
+    x = jnp.asarray(RNG.integers(0, p, (16, 512), dtype=np.uint32))
+    step = lambda v: mm.mul_mod_shoup_lazy(
+        v, np.uint32(w), np.uint32(w_sh), np.uint32(p))
+    for ilp in (2, 4):
+        got = np.asarray(ubench.modmul_chain(
+            x, np.uint32(w), np.uint32(w_sh), np.uint32(p), np.uint32(mu),
+            reps=4, variant="lazy", interpret=True, unroll=2, ilp=ilp))
+        want = None
+        for j in range(ilp):
+            v = x + np.uint32(j)
+            for _ in range(4):
+                v = step(v)
+            want = v if want is None else want ^ v
+        np.testing.assert_array_equal(got, np.asarray(want))
+    # the all-multiply twin: 17 dependent u32 multiplies (16 squarings +
+    # one const mul — squarings so the chain can't constant-fold) per step
+    got = np.asarray(ubench.modmul_chain(
+        x, np.uint32(w), np.uint32(w_sh), np.uint32(p), np.uint32(mu),
+        reps=2, variant="mul17", interpret=True, unroll=1))
+    v = x
+    for _ in range(2):
+        for _ in range(16):
+            v = v * v
+        v = v * np.uint32(w)
+    np.testing.assert_array_equal(got, np.asarray(v))
+
+
 def test_folded_layout_kernels_match_flat():
     """The sublane-folded sweeps (n >= 1024: [bt, 8, n/8] rows, row stages
     as sublane rolls) must be bit-exact with the flat-layout kernels for
