@@ -287,16 +287,45 @@ class FHE:
                 bgv=self.scheme_name == "bgv", keys_at_level=level > 0,
                 pre_keys=pre)
 
-    def sum_slots(self, ct, gal_keys: GaloisKeys):
-        """Every slot becomes the sum of ALL slots: log2(n/2) rotate-and-add
-        sweeps over the row axis plus one column fold (the classic
-        inner-sum reduction; uses the default power-of-two key set)."""
+    def sum_slots_elements(self) -> tuple:
+        """Galois elements enabling the FAST sum_slots: the default
+        power-of-two set plus the 3*4^i hops each radix-4 stage hoists.
+        Pass to galoiskey_gen(sk, elements=fhe.sum_slots_elements())."""
+        from .scheme import context as _context
+        m = 2 * self.params.n
+        half = self.params.n // 2
+        elems = list(_context.default_galois_elements(self.params.n))
         step = 1
+        while step < half:
+            for j in (2, 3):
+                if j * step < half:
+                    elems.append(pow(3, j * step, m))
+            step *= 4
+        return tuple(dict.fromkeys(elems))
+
+    def sum_slots(self, ct, gal_keys: GaloisKeys):
+        """Every slot becomes the sum of ALL slots (inner-sum reduction).
+
+        With keys from sum_slots_elements(), each reduction stage hoists
+        the three rotations {s, 2s, 3s} of the running sum through ONE
+        shared gadget decomposition (radix-4: log4 instead of log2 stages;
+        the stages themselves are data-dependent and cannot be hoisted
+        across).  With the default power-of-two key set it falls back to
+        the classic log2 rotate-and-add sweep."""
+        m = 2 * self.params.n
         half = self.params.n // 2
         with self.monitor.time("sum_slots"):
+            step = 1
             while step < half:
-                ct = self.add(ct, self.rotate_rows(ct, step, gal_keys))
-                step *= 2
+                group = [j * step for j in (1, 2, 3) if j * step < half]
+                gs = [pow(3, s, m) for s in group]
+                if len(gs) > 1 and all(g in gal_keys.data for g in gs):
+                    for rot in self.rotate_rows_hoisted(ct, group, gal_keys):
+                        ct = self.add(ct, rot)
+                    step *= len(group) + 1
+                else:
+                    ct = self.add(ct, self.rotate_rows(ct, step, gal_keys))
+                    step *= 2
             return self.add(ct, self.rotate_columns(ct, gal_keys))
 
     def rotate_columns(self, ct, gal_keys: GaloisKeys):

@@ -178,3 +178,99 @@ def make_distributed_polymul(mesh: Mesh, tb: NTTTables, n: int,
 
 def _apply3(f, tb, a, b):
     return f(a, b, tb)
+
+
+# ---------------------------------------------------------------------------
+# scheme-level coefficient-sharded multiply + relinearize (SURVEY §7 stage 7)
+# ---------------------------------------------------------------------------
+
+
+def _tensor_dist(x, y, tb, n, num_shards, axis, t_mod):
+    """t * (x ⊗ y) on coeff-sharded [k, 2, L] blocks -> [k, 3, L]."""
+    f = dist_ntt_forward(jnp.concatenate([x, y], axis=1), tb, n,
+                         num_shards, axis)
+    xf, yf = f[:, :2], f[:, 2:]
+    p = tb.p[:, None, None]
+    mu = tb.mu[:, None, None]
+    c0 = mm.mul_mod_barrett(xf[:, :1], yf[:, :1], p, mu)
+    c2 = mm.mul_mod_barrett(xf[:, 1:], yf[:, 1:], p, mu)
+    c1 = mm.add_mod(mm.mul_mod_barrett(xf[:, :1], yf[:, 1:], p, mu),
+                    mm.mul_mod_barrett(xf[:, 1:], yf[:, :1], p, mu), p)
+    tens = dist_ntt_inverse(jnp.concatenate([c0, c1, c2], axis=1), tb, n,
+                            num_shards, axis)
+    return mm.mul_mod_barrett(tens, jnp.broadcast_to(t_mod, tens.shape),
+                              p, mu)
+
+
+def multiply_relin_coeff_sharded(ctx, a, b, rlk, mesh: Mesh,
+                                 axis: str = "coeff"):
+    """Full BEHZ multiply + relinearize with the COEFFICIENT axis sharded —
+    ring degrees beyond one chip's VMEM (reference's documented multi-GPU
+    NTT plan, docs/NTT_OPTIMIZATION.md:315-325, which had no code).
+
+    Every BEHZ base conversion (SmMRq / FastFloor / Shenoy-Kumaresan) and
+    the key-switch inner product are POINTWISE per coefficient, so they run
+    shard-local with zero communication; the only cross-shard traffic is
+    the log2(P) ppermute exchange stages inside each distributed NTT.
+    Level-0 ciphertexts; bit-exact with the single-device jnp-engine
+    bfv.multiply (tests/test_parallel.py)."""
+    from ..ops import rns as _rns
+    from ..scheme import bfv as _bfv
+    from ..scheme import noise as _noise
+    from ..scheme.types import Ciphertext
+
+    if a.level or b.level:
+        raise ValueError("coeff-sharded multiply covers level 0")
+    a = _bfv.to_coeff(ctx, a)
+    b = _bfv.to_coeff(ctx, b)
+    n = ctx.n
+    num_shards = mesh.shape[axis]
+    _check_shards(num_shards)
+    smq = ctx.smq_levels[0]
+    fc = ctx.floor_levels[0]
+    skc = ctx.sk_levels[0]
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[0]
+    t_mod = ctx.dec_c.t
+    tb_q = ctx.ntt_q
+    from ..ops.ntt import slice_tables_last
+    tb_bsk = slice_tables_last(ctx.ntt_bsk, ctx.bsk_counts[0])
+    keys_t = jnp.transpose(rlk.data, (1, 0, 2, 3))    # [k_prime, kd, 2, n]
+
+    def local_fn(a_loc, b_loc, keys_loc, tbq, tbb):
+        # BEHZ conversions: pointwise per coefficient -> the single-chip
+        # rns code runs unchanged on the local block
+        lift_a = _rns.sm_mrq(a_loc, smq)
+        lift_b = _rns.sm_mrq(b_loc, smq)
+        tx_q = _tensor_dist(a_loc, b_loc, tbq, n, num_shards, axis, t_mod)
+        tx_bsk = _tensor_dist(lift_a, lift_b, tbb, n, num_shards, axis,
+                              t_mod)
+        floored = _rns.fast_floor(tx_q, tx_bsk, fc)
+        out3 = _rns.fast_bconv_sk(floored, skc)       # [k, 3, L]
+        # key switch: digit scale + per-prime reduce are elementwise; the
+        # two transforms are distributed; inner product is pointwise-local
+        d = mm.mul_mod_shoup(out3[:, 2], inv_qhat[:, None],
+                             inv_qhat_sh[:, None], tbq.p[:, None])
+        d_all = mm.barrett_reduce_u32(
+            d[None], tbq.p[:, None, None], tbq.mu[:, None, None])
+        f = dist_ntt_forward(d_all, tbq, n, num_shards, axis)
+        p4 = tbq.p[:, None, None, None]
+        prod = mm.mul_mod_barrett(
+            f[:, :, None, :], keys_loc, p4, tbq.mu[:, None, None, None])
+        acc = mm.add_mod_tree(prod, p4, axis=1)[:, 0]  # [k, 2, L]
+        delta = dist_ntt_inverse(acc, tbq, n, num_shards, axis)
+        return mm.add_mod(out3[:, :2], delta, tbq.p[:, None, None])
+
+    spec = P(None, None, axis)
+    kspec = P(None, None, None, axis)
+    rep = P()
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec, spec, kspec, rep, rep),
+        out_specs=spec))
+    out = fn(a.data, b.data, keys_t, tb_q, tb_bsk)
+    v3 = _noise.bfv_multiply(ctx.params, _bfv._v_of(ctx, a),
+                             _bfv._v_of(ctx, b))
+    bud = _bfv._b_of(ctx, 0, _noise.add(
+        v3, _noise.keyswitch_add(ctx.params, 0)))
+    return Ciphertext(data=out, level=0, is_ntt_form=False,
+                      noise_budget=bud)

@@ -108,30 +108,34 @@ def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
     return np.concatenate([arr] + [arr[-1:]] * pad, axis=0)
 
 
-def build_plan(ctx, n_devices: int):
-    """Precompute the sharded-constant bundles for level 0.  Cached per
-    (params, n_devices) on the context object itself."""
+def build_plan(ctx, n_devices: int, level: int = 0):
+    """Precompute the sharded-constant bundles for one level.  Cached per
+    (params, n_devices, level) on the context object itself."""
     cache = getattr(ctx, "_shard_plan_cache", None)
     if cache is None:
         cache = {}
         object.__setattr__(ctx, "_shard_plan_cache", cache)
-    if n_devices in cache:
-        return cache[n_devices]
-    k = ctx.k
-    if k % n_devices:
+    if (n_devices, level) in cache:
+        return cache[(n_devices, level)]
+    kk = ctx.k - level
+    if kk % n_devices:
         raise ValueError(
-            f"explicit rns sharding needs k % P == 0 (k={k}, P={n_devices})")
-    kb = ctx.bsk_counts[0]
+            f"explicit rns sharding needs (k - level) % P == 0 "
+            f"(k={ctx.k}, level={level}, P={n_devices})")
+    kb = ctx.bsk_counts[level]
     kb_pad = -(-kb // n_devices) * n_devices
-    smq, fc, skc = ctx.smq_levels[0], ctx.floor_levels[0], ctx.sk_levels[0]
+    smq = ctx.smq_levels[level]
+    fc = ctx.floor_levels[level]
+    skc = ctx.sk_levels[level]
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
 
     qc = _QConsts(
         mt_inv_phat=smq.mt_times_inv_phat,
         mt_inv_phat_sh=smq.mt_times_inv_phat_shoup,
         floor_inv_phat=fc.conv.inv_phat,
         floor_inv_phat_sh=fc.conv.inv_phat_shoup,
-        inv_qhat=ctx.inv_qhat,
-        inv_qhat_sh=ctx.inv_qhat_shoup,
+        inv_qhat=inv_qhat,
+        inv_qhat_sh=inv_qhat_sh,
         sk_phat=skc.conv_q.phat_mod_dst,
         sk_phat_sh=skc.conv_q.phat_shoup_dst,
         sk_bmod=skc.B_mod_q,
@@ -155,20 +159,23 @@ def build_plan(ctx, n_devices: int):
         floor_inv_q_sh=padded(fc.inv_q_shoup_dst),
     )
 
-    # bsk NTT tables padded to kb_pad rows (jnp engine; Pallas tables too
-    # when the context has them)
+    # level-sliced NTT tables: q tables keep the first kk rows; the Bsk
+    # slice keeps m_sk LAST (slice_tables_last), then pads to kb_pad rows
+    # (jnp engine; Pallas tables too when the context has them)
+    tb_q = _ntt.slice_tables(ctx.ntt_q, kk)
     tb_bsk = _ntt.NTTTables(*(
-        jnp.asarray(_pad_rows(np.asarray(f), kb_pad)) for f in ctx.ntt_bsk))
+        jnp.asarray(_pad_rows(np.asarray(f), kb_pad))
+        for f in _ntt.slice_tables_last(ctx.ntt_bsk, kb)))
     pl_pair = None
     if ctx.use_pallas:
         from ..ops import ntt_pallas as _pl
-        tq, tbsk = ctx.ntt_mul_pl_levels[0]
+        tq, tbsk = ctx.ntt_mul_pl_levels[level]
         tbsk_pad = _pl.PallasNTTTables(*(
             jnp.asarray(_pad_rows(np.asarray(f), kb_pad)) for f in tbsk))
-        pl_pair = (tq, tbsk_pad, ctx.ntt_q_pl)
-    plan = dict(kb=kb, kb_pad=kb_pad, qc=qc, bc=bc, tb_bsk=tb_bsk,
-                pl=pl_pair)
-    cache[n_devices] = plan
+        pl_pair = (tq, tbsk_pad, _pl.slice_tables(ctx.ntt_q_pl, kk))
+    plan = dict(kb=kb, kb_pad=kb_pad, qc=qc, bc=bc, tb_q=tb_q,
+                tb_bsk=tb_bsk, pl=pl_pair)
+    cache[(n_devices, level)] = plan
     return plan
 
 
@@ -243,45 +250,51 @@ def _keyswitch_local(d_full, keys_loc, tb_loc, pl_loc):
 
 def multiply_relin_shardmap(ctx, a: Ciphertext, b: Ciphertext,
                             rlk: RelinKeys, mesh: Mesh,
-                            axis: str = "rns") -> Ciphertext:
+                            axis: str = "rns",
+                            keys_at_level: bool = False) -> Ciphertext:
     """BEHZ multiply + relinearize with every cross-prime exchange an
-    explicit collective (module docstring).  Level-0 ciphertexts; bit-exact
-    with scheme.bfv.multiply (tests/test_shard_scheme.py)."""
-    if a.level or b.level:
-        raise ValueError("explicit shard_map path covers level 0")
+    explicit collective (module docstring).  Any level with
+    (k - level) % P == 0 (level-0 keys are mod-switched down unless
+    keys_at_level); bit-exact with scheme.bfv.multiply
+    (tests/test_shard_scheme.py)."""
+    if a.level != b.level:
+        raise ValueError("operands must share a level")
+    level = a.level
     from ..scheme import bfv as _bfv
     a = _bfv.to_coeff(ctx, a)
     b = _bfv.to_coeff(ctx, b)
     n_dev = mesh.shape[axis]
-    plan = build_plan(ctx, n_dev)
-    keys_t = jnp.transpose(rlk.data, (1, 0, 2, 3))   # [k_prime, kd, 2, n]
+    plan = build_plan(ctx, n_dev, level)
+    keys = (rlk.data if keys_at_level
+            else _bfv._switch_keys_down(ctx, rlk.data, level, False))
+    keys_t = jnp.transpose(keys, (1, 0, 2, 3))       # [k_prime, kd, 2, n]
 
-    fn = _build_shardmap_fn(ctx, mesh, axis, plan)
+    fn = _build_shardmap_fn(ctx, mesh, axis, plan, level)
     out = fn(a.data, b.data, keys_t, plan["qc"], plan["bc"],
-             ctx.ntt_q, plan["tb_bsk"],
+             plan["tb_q"], plan["tb_bsk"],
              *(plan["pl"] if plan["pl"] else ()))
     v3 = _noise.bfv_multiply(ctx.params, _bfv._v_of(ctx, a),
                              _bfv._v_of(ctx, b))
-    bud = _bfv._b_of(ctx, 0, _noise.add(
-        _noise.bfv_variance(ctx.params, 0, _bfv._b_of(ctx, 0, v3)),
-        _noise.keyswitch_add(ctx.params, 0)))
-    return Ciphertext(data=out, level=0, is_ntt_form=False,
+    bud = _bfv._b_of(ctx, level, _noise.add(
+        _noise.bfv_variance(ctx.params, level, _bfv._b_of(ctx, level, v3)),
+        _noise.keyswitch_add(ctx.params, level)))
+    return Ciphertext(data=out, level=level, is_ntt_form=False,
                       noise_budget=bud)
 
 
-def _build_shardmap_fn(ctx, mesh: Mesh, axis: str, plan):
-    """The jitted shard_map program (cached per (params, mesh, axis))."""
+def _build_shardmap_fn(ctx, mesh: Mesh, axis: str, plan, level: int = 0):
+    """The jitted shard_map program (cached per (params, mesh, axis, level))."""
     cache = getattr(ctx, "_shard_fn_cache", None)
     if cache is None:
         cache = {}
         object.__setattr__(ctx, "_shard_fn_cache", cache)
-    key = (id(mesh), axis, mesh.shape[axis])
+    key = (id(mesh), axis, mesh.shape[axis], level)
     if key in cache:
         return cache[key]
 
     kb = plan["kb"]
-    smq = ctx.smq_levels[0]
-    skc = ctx.sk_levels[0]
+    smq = ctx.smq_levels[level]
+    skc = ctx.sk_levels[level]
     t_mod = ctx.dec_c.t
     use_pl = plan["pl"] is not None
     # replicated small constants (closed over: they are bytes, not tensors)
@@ -373,7 +386,7 @@ def _build_shardmap_fn(ctx, mesh: Mesh, axis: str, plan):
         spec_row, spec_row, spec_row,
         jax.tree_util.tree_map(lambda _: spec_row, plan["qc"]),
         jax.tree_util.tree_map(lambda _: spec_row, plan["bc"]),
-        jax.tree_util.tree_map(lambda _: spec_row, ctx.ntt_q),
+        jax.tree_util.tree_map(lambda _: spec_row, plan["tb_q"]),
         jax.tree_util.tree_map(lambda _: spec_row, plan["tb_bsk"]),
     )
     if use_pl:

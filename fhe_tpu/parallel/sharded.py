@@ -31,12 +31,36 @@ from .mesh import make_mesh, rns_sharding
 
 class ShardedFHE:
     """Wraps an ``fhe_tpu.FHE`` instance with a mesh; scheme calls run with
-    the prime axis sharded (axis name ``rns``)."""
+    the prime axis sharded (axis name ``rns``).
+
+    ``multiply`` routes through the EXPLICIT shard_map BEHZ path
+    (parallel/shard_scheme.py) whenever the mesh has the rns axis and the
+    prime count divides it: the ICI cost model (SCALING_r03.json) predicts
+    the auto-partitioned layout MISSES the >= 70% scaling target at P=8
+    (0.617) while the explicit gather strategy clears it (0.774) — the
+    explicit path is the production default, auto-partitioning the
+    fallback."""
 
     def __init__(self, fhe, mesh: Mesh, axis: str = "rns"):
         self.fhe = fhe
         self.mesh = mesh
         self.axis = axis
+
+    def multiply(self, a, b, rlk):
+        """Ciphertext multiply + relinearize, explicit-collective path when
+        eligible (BFV, rns axis in the mesh, (k - level) % P == 0); falls
+        back to the wrapped FHE (auto-partitioned) otherwise."""
+        from . import shard_scheme as _ss
+        level = a.level
+        eligible = (
+            self.axis in self.mesh.shape
+            and getattr(self.fhe, "scheme_name", "bfv") == "bfv"
+            and (self.fhe.ctx.k - level) % self.mesh.shape[self.axis] == 0)
+        if not eligible:
+            return self.fhe.multiply(a, b, rlk)
+        with self.fhe.monitor.time("multiply_shardmap"):
+            return _ss.multiply_relin_shardmap(
+                self.fhe.ctx, a, b, rlk, self.mesh, self.axis)
 
     def _sharding(self, ndim: int) -> NamedSharding:
         return NamedSharding(self.mesh, P(self.axis, *([None] * (ndim - 1))))

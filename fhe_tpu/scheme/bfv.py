@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..ops import modmath as mm
 from ..ops import ntt as _ntt
 from ..ops import ntt_pallas as _ntt_pl
+from ..ops import galois_pallas as _gal_pl
 from ..ops import poly as _poly
 from ..ops import rns as _rns
 from ..ops import sampling
@@ -786,6 +787,25 @@ def _galois_coeff_folded(data: jax.Array, ft, p) -> jax.Array:
     """Apply the folded-affine automorphism factorization (see
     context.galois_fold_tables) to [..., n] data; p broadcastable to the
     folded [..., R, L] shape."""
+    if len(ft) == 6:
+        # two-level recursion: the L-length gather folds again to [R2, L2]
+        # (one short gather + sublane rolls at each level; ~2.5x faster
+        # than the single-level epilogue at n=8192, measured on v5e)
+        t_b2, t_a2, t_a, rho, rho2, neg3 = ft
+        R, R2 = rho.shape[0], rho2.shape[0]
+        L2 = t_b2.shape[0]
+        x = data.reshape(*data.shape[:-1], R, R2, L2)
+        y = jnp.take(x, t_b2, axis=-1)     # lane gather, L2-length index
+        w = y                              # level-2 row rotation by t_a2
+        for r in range(1, R2):
+            w = jnp.where(t_a2 == r, jnp.roll(y, -r, axis=-2), w)
+        z = jnp.take(w, rho2, axis=-2)     # level-2 static row shuffle
+        w1 = z                             # level-1 rotation by t_a [R2, L2]
+        for r in range(1, R):
+            w1 = jnp.where(t_a == r, jnp.roll(z, -r, axis=-3), w1)
+        z1 = jnp.take(w1, rho, axis=-3)    # level-1 static row shuffle
+        out = jnp.where(neg3, mm.neg_mod(z1, p[..., None]), z1)
+        return out.reshape(data.shape)
     t_b, t_a, rho, neg2 = ft
     R = rho.shape[0]
     L = t_b.shape[0]
@@ -809,6 +829,12 @@ def _apply_galois_coeff(ctx: SchemeContext, data: jax.Array, g: int) -> jax.Arra
     g works, including elements outside the precomputed default set."""
     g = int(g)
     p = ctx.ntt_q.p[: data.shape[0], None, None]
+    if ctx.use_pallas and ctx.n >= 1024:
+        # fused VMEM kernel: gather + rolls + negation in one pass (the XLA
+        # folded path below materializes every roll/select intermediate —
+        # measured HBM-bound at ~8 us/element vs ~1 us fused, v5e n=8192)
+        return _gal_pl.automorphism_single(
+            data, g, 2 * ctx.n, ctx.ntt_q.p[: data.shape[0]])
     ft = _context.galois_fold_tables(ctx.n, g)
     if ft is not None:
         return _galois_coeff_folded(data, ft, p[..., None])
@@ -891,9 +917,12 @@ def apply_galois_batch(ctx: SchemeContext, cts: list, g: int,
     data = jnp.stack([to_coeff(ctx, ct).data for ct in cts])   # [B, k, 2, n]
     tb = _tb(ctx, level)
     p4 = tb.p[None, :, None, None]
-    ft = _context.galois_fold_tables(ctx.n, g)
-    if ft is not None:
-        permuted = _galois_coeff_folded(data, ft, p4[..., None])
+    if ctx.n >= 1024:
+        # fused VMEM automorphism, same element for every ct in the batch
+        h = pow(g, -1, 2 * ctx.n)
+        xk = jnp.transpose(data, (1, 2, 0, 3))         # [k, 2, B, n]
+        perm_k = _gal_pl.automorphism_fused(xk, (h,) * data.shape[0], tb.p)
+        permuted = jnp.transpose(perm_k, (2, 0, 1, 3))
     else:
         if g in ctx.galois_src:
             src, neg = ctx.galois_src[g], ctx.galois_neg[g]
@@ -1037,8 +1066,15 @@ def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
         delta_b = _ntt_pl.ks_inner_batch(
             d_ntt[:, :, None, :], keys_st,
             _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
-        # per-element output automorphisms ride the folded-affine fast path
-        # (_apply_galois_coeff) — the only per-element data movement left
+        if ctx.n >= 1024:
+            # one fused epilogue kernel: c0-add + all B output automorphisms
+            # in a single VMEM pass (r4; the r3 per-element XLA epilogues
+            # were the reason hoisting LOST to plain rotation at k=3)
+            hs = tuple(pow(int(g), -1, 2 * ctx.n) for g in elements)
+            data_all = _gal_pl.automorphism_fused(
+                delta_b, hs, tb.p, c0=ct.data[:, 0])   # [k, 2, B, n]
+            return [ct.replace(data=data_all[:, :, b], noise_budget=nb)
+                    for b in range(len(elements))]
         outs = []
         for b, g in enumerate(elements):
             raw = delta_b[:, :, b]                     # [k, 2, n] pre-phi

@@ -23,5 +23,9 @@ import jax
 
 # The session-level axon (TPU) plugin ignores the env var, so force via config.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# CPU tests get their OWN cache dir: processes attached to the remote TPU
+# tunnel write CPU executables into /tmp/jax_cache compiled with the REMOTE
+# host's machine features (+prefer-no-scatter etc.), and loading those here
+# segfaults (observed r4: SIGSEGV inside compilation_cache.get_executable).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

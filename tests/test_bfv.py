@@ -254,6 +254,20 @@ def test_hoisted_rotation_arbitrary_steps(fhe, keys):
         assert list(got[:half]) == want, f"step {s}"
 
 
+def test_sum_slots_hoisted_radix4(fhe, keys):
+    """sum_slots with sum_slots_elements() keys takes the radix-4 hoisted
+    path (three rotations per stage share one gadget decomposition) and
+    still lands every slot on the total sum."""
+    pk, sk, rlk = keys
+    gk = fhe.galoiskey_gen(sk, elements=fhe.sum_slots_elements())
+    n = fhe.params.n
+    vals = np.arange(1, n + 1, dtype=np.int64) % fhe.params.t
+    ct = fhe.encrypt(fhe.encode(vals), pk)
+    total = int(vals.sum() % fhe.params.t)
+    out = fhe.decode(fhe.decrypt(fhe.sum_slots(ct, gk), sk))
+    assert int(out[0]) == total and int(out[n - 1]) == total
+
+
 def test_sum_slots(fhe, keys):
     """Inner-sum reduction: every slot ends up holding the total sum."""
     pk, sk, rlk = keys
@@ -278,7 +292,7 @@ def test_galois_folded_factorization_matches_gather():
 
     rng = np.random.default_rng(17)
     p = np.uint32(1073479681)
-    for n in (1024, 2048, 8192):
+    for n in (1024, 2048, 8192, 16384):
         x = jnp.asarray(rng.integers(0, p, (2, 3, n), dtype=np.uint32))
         for g in (3, 9, pow(3, 5, 2 * n), 2 * n - 1, pow(3, -1, 2 * n)):
             ft = _context.galois_fold_tables(n, int(g))

@@ -26,9 +26,12 @@ def _patch_interpret(monkeypatch, names):
     multiply on a use_pallas context dispatches onto them."""
     import functools as ft
 
-    for name in tuple(names) + _RNS_KERNELS:
+    from fhe_tpu.ops import galois_pallas as gpal
+    _GAL = ("automorphism_fused", "automorphism_single")
+    for name in tuple(names) + _RNS_KERNELS + _GAL:
         mod = (dpal if name == "decrypt_fused"
-               else rpal if name in _RNS_KERNELS else npal)
+               else rpal if name in _RNS_KERNELS
+               else gpal if name in _GAL else npal)
         monkeypatch.setattr(mod, name,
                             ft.partial(getattr(mod, name), interpret=True))
 
@@ -680,3 +683,111 @@ def test_fused_behz_conversions_match_jnp():
         got = np.asarray(rpal.fast_bconv_sk_fused(xb, skc, interpret=True))
         want = np.asarray(jax.jit(_rns.fast_bconv_sk)(xb, skc))
         np.testing.assert_array_equal(got, want, err_msg=f"sk lvl{lvl}")
+
+
+def test_automorphism_fused_matches_permutation():
+    """The fused VMEM automorphism kernel (ops/galois_pallas.py): per-element
+    static-h gather+rolls+negation == context.galois_permutation, for every
+    in-kernel fold plan (single-level n<8192, two-level n>=8192) and the
+    c0-add epilogue variant (reference rotate_rows decl include/fhe.cuh:113-116)."""
+    from fhe_tpu.ops import galois_pallas as gp
+    from fhe_tpu.scheme import context as _context
+
+    p_np = np.array([1073479681, 1072496641, 1071513601], dtype=np.uint32)
+    for n in (1024, 4096, 8192):
+        k, C, B = 3, 2, 4
+        x = jnp.asarray(np.stack([
+            RNG.integers(0, p_np[i], (C, B, n), dtype=np.uint32)
+            for i in range(3)]))
+        gs = (3, pow(3, 5, 2 * n), 2 * n - 1, pow(3, -1, 2 * n))
+        hs = tuple(pow(g, -1, 2 * n) for g in gs)
+        got = np.asarray(gp.automorphism_fused(
+            x, hs, jnp.asarray(p_np), interpret=True))
+        c0 = jnp.asarray(np.stack([
+            RNG.integers(0, p_np[i], n, dtype=np.uint32) for i in range(3)]))
+        got_c0 = np.asarray(gp.automorphism_fused(
+            x, hs, jnp.asarray(p_np), c0=c0, interpret=True))
+        for b, g in enumerate(gs):
+            src, neg = _context.galois_permutation(n, g)
+            xa = np.asarray(x)[:, :, b, :]
+            w = xa[..., src]
+            want = np.where(
+                neg, np.where(w == 0, w, p_np[:, None, None] - w), w)
+            np.testing.assert_array_equal(got[:, :, b], want,
+                                          err_msg=f"n={n} g={g}")
+            xc = xa.copy()
+            xc[:, 0] = ((xc[:, 0].astype(np.uint64)
+                         + np.asarray(c0).astype(np.uint64))
+                        % p_np[:, None]).astype(np.uint32)
+            w = xc[..., src]
+            want = np.where(
+                neg, np.where(w == 0, w, p_np[:, None, None] - w), w)
+            np.testing.assert_array_equal(got_c0[:, :, b], want,
+                                          err_msg=f"c0 n={n} g={g}")
+
+
+def test_automorphism_single_matches_coeff_path():
+    """automorphism_single == the XLA folded/gather _apply_galois_coeff."""
+    from fhe_tpu.ops import galois_pallas as gp
+    from fhe_tpu.scheme import context as _context
+
+    n = 2048
+    p_np = np.array([1073479681, 1072496641], dtype=np.uint32)
+    x = jnp.asarray(np.stack([
+        RNG.integers(0, p_np[i], (2, n), dtype=np.uint32) for i in range(2)]))
+    for g in (3, 2 * n - 1, pow(3, 7, 2 * n)):
+        got = np.asarray(gp.automorphism_single(
+            x, g, 2 * n, jnp.asarray(p_np), interpret=True))
+        src, neg = _context.galois_permutation(n, g)
+        w = np.asarray(x)[..., src]
+        want = np.where(neg, np.where(w == 0, w, p_np[:, None, None] - w), w)
+        np.testing.assert_array_equal(got, want, err_msg=f"g={g}")
+
+
+def test_hoisted_fused_epilogue_matches_composed(monkeypatch):
+    """At n >= 1024 the hoisted fast path runs the ONE-KERNEL fused
+    epilogue (c0-add + all output automorphisms, ops/galois_pallas.py);
+    outputs must stay bit-exact with the jnp-engine hoisted path and
+    decrypt to the right rotations."""
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    _patch_interpret(monkeypatch, (
+        "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
+        "keyswitch_fused", "keyswitch_fused_batch", "ks_inner_batch",
+        "decrypt_fused"))
+    params = make_scheme_params(SecurityParams(
+        poly_degree=1024, log_q=60, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=True, use_mxu=False)
+    ctx_ref = make_context(params, use_pallas=False, use_mxu=False)
+    key = jrandom.PRNGKey(43)
+    pk, sk = bfv.keygen(ctx_ref, jrandom.fold_in(key, 0))
+    elems = tuple(pow(3, s, 2 * params.n) for s in range(1, 4))
+    gal = bfv.galoiskey_gen(ctx_ref, jrandom.fold_in(key, 1), sk,
+                            elements=elems)
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    ct = bfv.encrypt(ctx_ref, jrandom.fold_in(key, 2), pk,
+                     enc.encode(list(range(1, 9))))
+    got = bfv.apply_galois_hoisted(ctx, ct, elems, gal)
+    want = bfv.apply_galois_hoisted(ctx_ref, ct, elems, gal)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g.data), np.asarray(w.data))
+    for s, g in zip(range(1, 4), got):
+        dec = enc.decode(bfv.decrypt(ctx_ref, g, sk))
+        assert list(dec[:3]) == [1 + s, 2 + s, 3 + s], (s, dec[:3])
+    # plain apply_galois + rotate_rows also route the fused automorphism
+    rot_pl = bfv.rotate_rows(ctx, ct, 1, gal)
+    rot_ref = bfv.rotate_rows(ctx_ref, ct, 1, gal)
+    np.testing.assert_array_equal(np.asarray(rot_pl.data),
+                                  np.asarray(rot_ref.data))
+    # batched same-element automorphism (apply_galois_batch fused path)
+    cts = [ct, bfv.encrypt(ctx_ref, jrandom.fold_in(key, 3), pk,
+                           enc.encode([4, 5, 6]))]
+    gotb = bfv.rotate_rows_batch(ctx, cts, 1, gal)
+    for i in range(2):
+        wantb = bfv.rotate_rows(ctx_ref, cts[i], 1, gal)
+        np.testing.assert_array_equal(np.asarray(gotb[i].data),
+                                      np.asarray(wantb.data))

@@ -163,3 +163,27 @@ def test_distributed_ntt_rejects_non_power_of_two(eight_devices):
     mesh = _mesh.make_mesh({"coeff": 6}, eight_devices[:6])
     with _pytest.raises(ValueError, match="power of two"):
         dntt.make_distributed_polymul(mesh, tb, 256)
+
+
+@pytest.mark.parametrize("n,shards", [(2048, 4), (32768, 8)])
+def test_multiply_relin_coeff_sharded(eight_devices, n, shards):
+    """Scheme-level COEFFICIENT-sharded multiply+relin (SURVEY §7 stage 7 /
+    VERDICT r3 next-step #5): the BEHZ conversions and key-switch inner
+    product run shard-local; only the distributed NTTs' ppermute stages
+    communicate.  Bit-exact vs the single-device jnp-engine multiply, and
+    decrypt-correct — including n=32768, past the reference's declared max
+    ring (docs/NTT_OPTIMIZATION.md:315-325 designed this; no code existed)."""
+    params = make_scheme_params(
+        SecurityParams(poly_degree=n, log_q=90, lambda_=0, hamming_weight=16))
+    fhe = FHE(params, seed=11)
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    ct1 = fhe.encrypt(fhe.encode([4, 5, 6]), pk)
+    ct2 = fhe.encrypt(fhe.encode([7, 8, 9]), pk)
+    mesh = _mesh.make_mesh({"coeff": shards}, eight_devices[:shards])
+    out = dntt.multiply_relin_coeff_sharded(fhe.ctx, ct1, ct2, rlk, mesh)
+    got = fhe.decode(fhe.decrypt(out, sk))
+    assert list(got[:3]) == [28, 40, 54], got[:3]
+    want = jax.jit(bfv.multiply)(fhe.ctx, ct1, ct2, rlk)
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(want.data))

@@ -56,8 +56,46 @@ def test_multiply_relin_shardmap_bitexact(eight_devices, k, p_devs):
 def test_shardmap_rejects_uneven_k(eight_devices):
     fhe, sk, rlk, ct1, ct2 = _setup(3)
     mesh = _mesh.make_mesh({"rns": 2}, eight_devices[:2])
-    with pytest.raises(ValueError, match="k % P"):
+    with pytest.raises(ValueError, match="% P == 0"):
         shard_scheme.multiply_relin_shardmap(fhe.ctx, ct1, ct2, rlk, mesh)
+
+
+def test_multiply_relin_shardmap_leveled(eight_devices):
+    """The explicit path at level 1 (VERDICT r3 next-step #7): level-0 keys
+    mod-switched down inside, bit-exact vs the single-device leveled
+    multiply."""
+    fhe, sk, rlk, ct1, ct2 = _setup(5)
+    a1 = fhe.mod_switch_to_next(ct1)
+    b1 = fhe.mod_switch_to_next(ct2)
+    mesh = _mesh.make_mesh({"rns": 4}, eight_devices[:4])
+    out = shard_scheme.multiply_relin_shardmap(fhe.ctx, a1, b1, rlk, mesh)
+    assert out.level == 1
+    got = fhe.decode(fhe.decrypt(out, sk))
+    assert list(got[:3]) == [28, 40, 54], got[:3]
+    want = jax.jit(bfv.multiply)(fhe.ctx, a1, b1, rlk)
+    np.testing.assert_array_equal(np.asarray(out.data), np.asarray(want.data))
+
+
+def test_sharded_fhe_routes_explicit_path(eight_devices):
+    """ShardedFHE.multiply is the production distributed default: it must
+    route through multiply_relin_shardmap when the mesh has the rns axis
+    (and fall back cleanly when the prime count does not divide)."""
+    from fhe_tpu.parallel.sharded import ShardedFHE
+
+    fhe, sk, rlk, ct1, ct2 = _setup(4)
+    mesh = _mesh.make_mesh({"rns": 4}, eight_devices[:4])
+    sfhe = ShardedFHE(fhe, mesh)
+    out = sfhe.multiply(ct1, ct2, rlk)
+    got = fhe.decode(fhe.decrypt(out, sk))
+    assert list(got[:3]) == [28, 40, 54], got[:3]
+    want = shard_scheme.multiply_relin_shardmap(fhe.ctx, ct1, ct2, rlk, mesh)
+    np.testing.assert_array_equal(np.asarray(out.data), np.asarray(want.data))
+    assert fhe.monitor.get_stats().counts.get("multiply_shardmap", 0) >= 1
+    # ineligible (k=4 not divisible by P=3): falls back to the wrapped FHE
+    mesh3 = _mesh.make_mesh({"rns": 3}, eight_devices[:3])
+    out_fb = ShardedFHE(fhe, mesh3).multiply(ct1, ct2, rlk)
+    got_fb = fhe.decode(fhe.decrypt(out_fb, sk))
+    assert list(got_fb[:3]) == [28, 40, 54], got_fb[:3]
 
 
 def test_keyswitch_psum_bitexact(eight_devices):
