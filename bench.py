@@ -525,6 +525,34 @@ def main():
         _hard_sync(r)  # identical-dispatch dedup guard (see _hard_sync)
     boot_s = _median(boot_times)
 
+    # batched bootstrap: B=8 independent bits through ONE blind rotation
+    # (the 2n external products amortize across the batch sublanes)
+    cts_bits = [fhe_bs.encrypt(fhe_bs.encode_coeff([i % 2]), pk_bs)
+                for i in range(8)]
+
+    def boot_b8(ct_datas, bsk, ksk):
+        outs = _bs.bootstrap_binary_batch(
+            fhe_bs.ctx, [c.replace(data=d) for c, d in
+                         zip(cts_bits, ct_datas)], bsk, ksk)
+        return jnp.stack([o.data for o in outs])
+
+    boot_b8_j = jax.jit(boot_b8)
+    datas8 = [c.data for c in cts_bits]
+    out_b8 = boot_b8_j(datas8, bsk_keys, ks_keys)
+    for i in range(8):
+        gb = fhe_bs.decode_coeff(fhe_bs.decrypt(
+            cts_bits[i].replace(data=out_b8[i]), sk_bs))[0]
+        assert gb == i % 2, (i, gb)
+    _hard_sync(out_b8)
+    boot8_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r = boot_b8_j(datas8, bsk_keys, ks_keys)
+        jax.block_until_ready(r)
+        boot8_times.append(time.perf_counter() - t0)
+        _hard_sync(r)
+    boot8_s = _median(boot8_times) / 8.0
+
     rows_ep = bsk_keys.pos[0]
     acc0 = jnp.concatenate([ct_bit.data[:, :1], ct_bit.data[:, 1:]], axis=1)
     add_chain("ext_prod", lambda acc: _bs._external_product(
@@ -639,6 +667,7 @@ def main():
         "simd_vs_baseline": rnd(
             (fhe.slot_count / res["enc_b8"][0]) / 256000.0, 3),
         "bootstrap_ms_n1024": rnd(boot_s * 1e3, 3),
+        "bootstrap_ms_n1024_b8": rnd(boot8_s * 1e3, 3),
         "external_product_us": rnd(res["ext_prod"][0] * 1e6, 3),
         "bgv_multiply_relin_ms": rnd(ms("bgv_mul")),
         "bgv_multiply_vs_baseline": rnd(BASELINE_MUL_MS / ms("bgv_mul"), 3),

@@ -43,6 +43,21 @@ from .rns import FastFloorConsts, SKConsts, SmMRqConsts
 _U = np.uint32
 _MASK16 = np.uint32(0xFFFF)
 
+# Sublane folding (r4): the conversions are pure elementwise trees over
+# [k, B, n] blocks whose B = 2-4 rows leave 4-6 of the VPU's 8 sublanes
+# idle.  Folding the lane axis to [k, B, 8, n/8] fills them — the kernel
+# bodies are rank-generic, so only the wrappers reshape (n >= 1024 keeps
+# the folded lane dim >= 128 for Mosaic).
+_FOLD_ROWS = 8
+
+
+def _fold_n(x: jax.Array):
+    """[..., n] -> [..., 8, n/8] when foldable, else unchanged."""
+    n = x.shape[-1]
+    if n >= _FOLD_ROWS * 128 and n % (_FOLD_ROWS * 128) == 0:
+        return x.reshape(*x.shape[:-1], _FOLD_ROWS, n // _FOLD_ROWS)
+    return x
+
 
 def _digits(x, inv, inv_sh, p_src):
     """y_i = [x_i * inv_i]_{p_i} rows inside the kernel: x [k, B, n]."""
@@ -92,24 +107,27 @@ def sm_mrq_fused(x: jax.Array, sc: SmMRqConsts,
     k, B, n = x.shape
     cc = sc.conv
     l = cc.p_dst.shape[0]
+    xf = _fold_n(x)
+    tail = xf.shape[1:]
+    zeros = (0,) * len(tail)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    xin = pl.BlockSpec((k, B, n), lambda j: (0, 0, 0),
+    xin = pl.BlockSpec((k, *tail), lambda j: (0, *zeros),
                        memory_space=pltpu.VMEM)
-    dout = pl.BlockSpec((1, B, n), lambda j: (j, 0, 0),
+    dout = pl.BlockSpec((1, *tail), lambda j: (j, *zeros),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _smq_kernel,
         grid=(l,),
         in_specs=[smem] * 12 + [xin],
         out_specs=dout,
-        out_shape=jax.ShapeDtypeStruct((l, B, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((l, *tail), jnp.uint32),
         interpret=interpret,
     )(cc.p_src[:, None], sc.mt_times_inv_phat[:, None],
       sc.mt_times_inv_phat_shoup[:, None], cc.phat_mod_dst,
       cc.phat_shoup_dst, sc.phat_mod_mt[:, None], cc.p_dst[:, None],
       sc.q_mod_dst[:, None], sc.q_shoup_dst[:, None],
       sc.inv_mt_dst[:, None], sc.inv_mt_shoup_dst[:, None],
-      sc.inv_q_mt[None, None], x)
+      sc.inv_q_mt[None, None], xf).reshape(l, B, n)
 
 
 def _floor_kernel(psrc_ref, inv_ref, invsh_ref, phat_ref, phatsh_ref,
@@ -133,21 +151,26 @@ def fast_floor_fused(tx_q: jax.Array, tx_bsk: jax.Array,
     cc = fc.conv
     l = cc.p_dst.shape[0]
     assert tx_bsk.shape == (l, B, n)
+    xq = _fold_n(tx_q)
+    xb = _fold_n(tx_bsk)
+    tail = xq.shape[1:]
+    zeros = (0,) * len(tail)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    xin = pl.BlockSpec((k, B, n), lambda j: (0, 0, 0),
+    xin = pl.BlockSpec((k, *tail), lambda j: (0, *zeros),
                        memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, B, n), lambda j: (j, 0, 0),
+    row = pl.BlockSpec((1, *tail), lambda j: (j, *zeros),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _floor_kernel,
         grid=(l,),
         in_specs=[smem] * 8 + [xin, row],
         out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((l, B, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((l, *tail), jnp.uint32),
         interpret=interpret,
     )(cc.p_src[:, None], cc.inv_phat[:, None], cc.inv_phat_shoup[:, None],
       cc.phat_mod_dst, cc.phat_shoup_dst, cc.p_dst[:, None],
-      fc.inv_q_dst[:, None], fc.inv_q_shoup_dst[:, None], tx_q, tx_bsk)
+      fc.inv_q_dst[:, None], fc.inv_q_shoup_dst[:, None],
+      xq, xb).reshape(l, B, n)
 
 
 def _sk_kernel(paux_ref, inv_ref, invsh_ref, phat_ref, phatsh_ref,
@@ -185,12 +208,15 @@ def fast_bconv_sk_fused(x_bsk: jax.Array, sk: SKConsts,
     lp1, B, n = x_bsk.shape
     l = lp1 - 1
     kq = sk.conv_q.p_dst.shape[0]
+    xf = _fold_n(x_bsk)
+    tail = xf.shape[1:]
+    zeros = (0,) * len(tail)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    xin = pl.BlockSpec((l, B, n), lambda j: (0, 0, 0),
+    xin = pl.BlockSpec((l, *tail), lambda j: (0, *zeros),
                        memory_space=pltpu.VMEM)
-    mrow = pl.BlockSpec((1, B, n), lambda j: (0, 0, 0),
+    mrow = pl.BlockSpec((1, *tail), lambda j: (0, *zeros),
                         memory_space=pltpu.VMEM)
-    dout = pl.BlockSpec((1, B, n), lambda j: (j, 0, 0),
+    dout = pl.BlockSpec((1, *tail), lambda j: (j, *zeros),
                         memory_space=pltpu.VMEM)
     scalars = jnp.stack([sk.m_sk, sk.inv_B_sk,
                          sk.inv_B_sk_shoup]).astype(jnp.uint32)[None]
@@ -199,11 +225,11 @@ def fast_bconv_sk_fused(x_bsk: jax.Array, sk: SKConsts,
         grid=(kq,),
         in_specs=[smem] * 11 + [xin, mrow],
         out_specs=dout,
-        out_shape=jax.ShapeDtypeStruct((kq, B, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((kq, *tail), jnp.uint32),
         interpret=interpret,
     )(sk.conv_q.p_src[:, None], sk.conv_q.inv_phat[:, None],
       sk.conv_q.inv_phat_shoup[:, None], sk.conv_q.phat_mod_dst,
       sk.conv_q.phat_shoup_dst, sk.conv_sk.phat_mod_dst,
       sk.conv_sk.phat_shoup_dst, sk.conv_q.p_dst[:, None],
       sk.B_mod_q[:, None], sk.B_shoup_q[:, None], scalars,
-      x_bsk[:-1], x_bsk[-1:])
+      xf[:-1], xf[-1:]).reshape(kq, B, n)

@@ -270,6 +270,155 @@ def _monomial_mul(x: jax.Array, r, n: int, p) -> jax.Array:
     return jnp.where(flip[None, None, :], mm.neg_mod(g, p), g)
 
 
+def _monomial_mul_bits(x: jax.Array, r, n: int, p) -> jax.Array:
+    """x * X^r with PER-SAMPLE traced shifts, gather-free.
+
+    x [..., B, C, n], r [B] in [0, 2n).  X^r = prod_i X^{2^i * bit_i(r)}:
+    1 + log2(n) conditional STATIC negacyclic rolls + one conditional
+    negation (the X^n = -1 bit) — every op full-width across the batch,
+    no take_along_axis (XLA's per-batch-index gathers are ~20x a shared
+    take on TPU).  Bit-exact with _monomial_mul per sample."""
+    r = r.astype(jnp.uint32)
+    out = x
+    gate = r[:, None, None]
+    j = jnp.arange(n, dtype=jnp.int32)
+    for i in range(n.bit_length() - 1):                  # 2^i < n
+        c = 1 << i
+        rolled = jnp.roll(out, c, axis=-1)
+        rolled = jnp.where(j < c, mm.neg_mod(rolled, p), rolled)
+        bit = (gate >> i) & jnp.uint32(1)
+        out = jnp.where(bit == 1, rolled, out)
+    # the 2^log2(n) bit: X^n = -1
+    bit = (gate >> (n.bit_length() - 1)) & jnp.uint32(1)
+    return jnp.where(bit == 1, mm.neg_mod(out, p), out)
+
+
+def _external_product_batch(ctx: SchemeContext, acc: jax.Array,
+                            rows: jax.Array, level: int) -> jax.Array:
+    """B accumulators (x) ONE shared RGSW: [kl, B, 2, n] x [2kl, kl, 2, n]
+    NTT -> [kl, B, 2, n].  The digit rows of all B samples ride one forward
+    transform (batch axis 2kl*B) and the inner products fill the sublanes a
+    single accumulator leaves idle — the VERDICT r3 #8 amortization."""
+    tb = _bfv._tb(ctx, level)
+    kl, B, _, n = acc.shape
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
+    # digits of both components: [kl_primes, B, 2kl_digits, n]
+    d = mm.mul_mod_shoup(
+        jnp.transpose(acc, (1, 2, 0, 3)),                # [B, 2, kl, n]
+        inv_qhat[:, None], inv_qhat_sh[:, None], tb.p[:, None])
+    # broadcast every digit to every prime row and reduce (same pattern as
+    # the single-sample _digits, batch folded into the row axis)
+    d = mm.barrett_reduce_u32(
+        d.reshape(1, B * 2 * kl, n), tb.p[:, None, None],
+        tb.mu[:, None, None])                            # [kl, B*2kl, n]
+    d_ntt = _bfv._fwd_q(ctx, d, level)                   # [kl, B*2kl, n]
+    d_ntt = d_ntt.reshape(kl, B, 2 * kl, n)
+    kt = jnp.transpose(rows, (1, 0, 2, 3))               # [kl, 2kl, 2, n]
+    p5 = tb.p[:, None, None, None, None]
+    prod = mm.mul_mod_barrett(
+        d_ntt[:, :, :, None, :], kt[:, None], p5,
+        tb.mu[:, None, None, None, None])                # [kl, B, 2kl, 2, n]
+    acc_ntt = mm.add_mod_tree(prod, p5, axis=2)[:, :, 0]  # [kl, B, 2, n]
+    return _bfv._inv_q(
+        ctx, acc_ntt.reshape(kl, B * 2, n), level).reshape(kl, B, 2, n)
+
+
+def blind_rotate_batch(ctx: SchemeContext, a_batch: jax.Array,
+                       b_batch: jax.Array, bsk: BootstrapKey,
+                       test_poly: jax.Array | None = None) -> jax.Array:
+    """B independent accumulator rotations sharing one bootstrap key.
+
+    a_batch [B, n], b_batch [B] (stacked LWECiphertexts).  Returns the raw
+    accumulator stack [kl, B, 2, n]; sample i equals blind_rotate on
+    LWECiphertext(a_batch[i], b_batch[i]) up to the (identical) CMUX math —
+    the per-step monomial rotations run gather-free (_monomial_mul_bits)
+    and both external products amortize over the batch."""
+    p = ctx.params
+    n = p.n
+    level = bsk.level
+    tb = _bfv._tb(ctx, level)
+    p4 = tb.p[:, None, None, None]
+    B = a_batch.shape[0]
+
+    if test_poly is None:
+        test_poly = _sign_test_poly(ctx, level)
+
+    shift0 = jnp.mod(jnp.int32(n // 2) - b_batch.astype(jnp.int32),
+                     jnp.int32(2 * n)).astype(jnp.uint32)
+    tv = jnp.broadcast_to(test_poly[:, None], (ctx.k - level, B, 1, n))
+    acc0 = _monomial_mul_bits(tv, shift0, n, p4)
+    acc = jnp.concatenate([acc0, jnp.zeros_like(acc0)], axis=2)
+
+    def step(acc, inputs):
+        a_j, rows_pos, rows_neg = inputs                 # a_j [B]
+        neg_aj = jnp.mod(jnp.int32(2 * n) - a_j.astype(jnp.int32),
+                         jnp.int32(2 * n)).astype(jnp.uint32)
+        rot = _monomial_mul_bits(acc, neg_aj, n, p4)
+        diff = mm.sub_mod(rot, acc, p4)
+        acc = mm.add_mod(
+            acc, _external_product_batch(ctx, diff, rows_pos, level), p4)
+        rot2 = _monomial_mul_bits(acc, a_j, n, p4)
+        diff2 = mm.sub_mod(rot2, acc, p4)
+        acc = mm.add_mod(
+            acc, _external_product_batch(ctx, diff2, rows_neg, level), p4)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (a_batch.T, bsk.pos, bsk.neg))
+    return acc
+
+
+def bootstrap_binary_batch(ctx: SchemeContext, cts: list,
+                           bsk: BootstrapKey, ks_keys: jax.Array) -> list:
+    """B independent binary bootstraps through ONE batched blind rotation
+    (VERDICT r3 #8: the 2n external products are the serial cost; batching
+    B accumulators through them amortizes the gadget NTTs and inner
+    products across the idle sublanes).  Element i's plaintext equals
+    bootstrap_binary(cts[i])'s."""
+    p = ctx.params
+    level = cts[0].level
+    assert all(ct.level == level for ct in cts)
+    if bsk.level != level:
+        raise ValueError(
+            f"bootstrap key level {bsk.level} != ciphertext level {level}")
+    lwes = [extract_lsb(ctx, ct, index=0) for ct in cts]
+    a_batch = jnp.stack([l.a for l in lwes])
+    b_batch = jnp.stack([l.b for l in lwes])
+    acc = blind_rotate_batch(ctx, a_batch, b_batch, bsk)
+
+    kl = ctx.k - level
+    primes_l = p.q_primes[:kl]
+    q_l = math.prod(int(x) for x in primes_l)
+    c = (q_l // p.t) // 2
+    tb = _bfv._tb(ctx, level)
+    cvec = jnp.asarray(np.array([c % int(pi) for pi in primes_l], dtype=_U))
+    lv = math.log2(4 * p.n) + _noise.keyswitch_add(p, level)
+    outs = []
+    for i, ct in enumerate(cts):
+        data = acc[:, i]
+        c0 = data[:, 0].at[:, 0].set(mm.add_mod(data[:, 0, 0], cvec, tb.p))
+        out = Ciphertext(
+            data=jnp.concatenate([c0[:, None, :], data[:, 1:]], axis=1),
+            level=level, is_ntt_form=False,
+            noise_budget=max(0.0, float(_noise.bfv_budget(p, level, lv))))
+        if level:
+            lv_rot = _noise.bfv_variance(p, level, out.noise_budget)
+            out = _bfv.modulus_raise(ctx, out)
+            q_drop = math.prod(int(x) for x in p.q_primes[kl:])
+            drop_res = jnp.asarray(np.array(
+                [q_drop % int(pi) for pi in p.q_primes], dtype=_U))
+            out = out.replace(
+                data=_poly.mul_scalar(out.data, drop_res, ctx.ntt_q),
+                noise_budget=jnp.maximum(0.0, _noise.bfv_budget(
+                    p, 0, 2.0 * math.log2(q_drop) + lv_rot)))
+        out = _bfv.key_switch(ctx, out, ks_keys)
+        outs.append(out.replace(noise_budget=jnp.maximum(
+            0.0, _noise.bfv_budget(
+                p, 0, _noise.add(
+                    _noise.bfv_variance(p, 0, out.noise_budget),
+                    _noise.keyswitch_add(p, 0))))))
+    return outs
+
+
 def blind_rotate(ctx: SchemeContext, lwe: LWECiphertext,
                  bsk: BootstrapKey | None = None, *,
                  sk: SecretKey | None = None, key: jax.Array | None = None,

@@ -146,3 +146,48 @@ def test_blind_rotate_lookup(setup):
     coeff0 = _rns.from_rns_host(phase[:, :1], params.q_primes)[0]
     centered = coeff0 if coeff0 <= q_l // 2 else coeff0 - q_l
     assert abs(centered - marker) < (1 << 46), centered
+
+
+def test_bootstrap_binary_batch_matches_single(setup):
+    """B bootstraps through ONE batched blind rotation (VERDICT r3 #8):
+    each output decrypts to its input bit with the same payload-noise
+    margin as the single path, and the batched monomial rotation
+    (gather-free bit-decomposed rolls) is bit-exact with the single-path
+    accumulator math."""
+    params, ctx, pk, sk, kb = setup
+    bits = [1, 0, 1, 0]
+    cts = [_encrypt_bit(ctx, pk, b, jrandom.fold_in(kb, 40 + i))
+           for i, b in enumerate(bits)]
+    bsk = bootstrap.make_bootstrap_key(ctx, jrandom.fold_in(kb, 50), sk, 0)
+    ksk = bootstrap.keyswitch_keygen(ctx, jrandom.fold_in(kb, 51), sk, sk)
+    outs = jax.jit(bootstrap.bootstrap_binary_batch)(ctx, cts, bsk, ksk)
+    for b, out in zip(bits, outs):
+        pt = jax.jit(bfv.decrypt)(ctx, out, sk)
+        assert int(np.asarray(pt.data)[0]) == b
+        assert out.level == 0
+    # the batched accumulator equals the single-path accumulator bit-exactly
+    # (same bsk, same CMUX schedule — only the monomial-mul implementation
+    # differs, which must not change a single residue)
+    lwe0 = bootstrap.extract_lsb(ctx, cts[0], index=0)
+    acc_single = bootstrap.blind_rotate(ctx, lwe0, bsk)
+    a_b = jnp.stack([bootstrap.extract_lsb(ctx, c, 0).a for c in cts])
+    b_b = jnp.stack([bootstrap.extract_lsb(ctx, c, 0).b for c in cts])
+    acc_batch = bootstrap.blind_rotate_batch(ctx, a_b, b_b, bsk)
+    np.testing.assert_array_equal(np.asarray(acc_batch[:, 0]),
+                                  np.asarray(acc_single.data))
+
+
+def test_monomial_mul_bits_matches_take(setup):
+    """The bit-decomposed negacyclic monomial multiply == the gather form,
+    for every shift in [0, 2n)."""
+    params, ctx, pk, sk, kb = setup
+    n = 32
+    p = jnp.asarray(np.array([97], dtype=np.uint32))[:, None, None]
+    x = jnp.asarray(np.arange(2 * n, dtype=np.uint32).reshape(1, 2, n) % 97)
+    p4 = p[..., None]
+    for r in range(2 * n):
+        want = np.asarray(bootstrap._monomial_mul(
+            x, jnp.uint32(r), n, p))
+        got = np.asarray(bootstrap._monomial_mul_bits(
+            x[:, None], jnp.asarray([r], dtype=np.uint32), n, p4))[:, 0]
+        np.testing.assert_array_equal(got, want, err_msg=f"r={r}")

@@ -791,3 +791,35 @@ def test_hoisted_fused_epilogue_matches_composed(monkeypatch):
         wantb = bfv.rotate_rows(ctx_ref, cts[i], 1, gal)
         np.testing.assert_array_equal(np.asarray(gotb[i].data),
                                       np.asarray(wantb.data))
+
+
+def test_fused_behz_conversions_folded_layout():
+    """At n >= 1024 the conversion wrappers fold the lane axis to
+    [k, B, 8, n/8] (full sublane occupancy, r4) — must stay bit-exact with
+    the composed jnp conversions."""
+    from fhe_tpu.ops import rns as _rns
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme.context import make_context
+
+    params = make_scheme_params(SecurityParams(
+        poly_degree=1024, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=False)
+    n = params.n
+    ps = params.q_primes
+    x = jnp.asarray(np.stack([
+        RNG.integers(0, p, (3, n), dtype=np.uint32) for p in ps]))
+    smq = ctx.smq_levels[0]
+    np.testing.assert_array_equal(
+        np.asarray(rpal.sm_mrq_fused(x, smq, interpret=True)),
+        np.asarray(jax.jit(_rns.sm_mrq)(x, smq)))
+    fc = ctx.floor_levels[0]
+    bsk_ps = [int(v) for v in np.asarray(fc.conv.p_dst)]
+    xb = jnp.asarray(np.stack([
+        RNG.integers(0, p, (3, n), dtype=np.uint32) for p in bsk_ps]))
+    np.testing.assert_array_equal(
+        np.asarray(rpal.fast_floor_fused(x, xb, fc, interpret=True)),
+        np.asarray(jax.jit(_rns.fast_floor)(x, xb, fc)))
+    skc = ctx.sk_levels[0]
+    np.testing.assert_array_equal(
+        np.asarray(rpal.fast_bconv_sk_fused(xb, skc, interpret=True)),
+        np.asarray(jax.jit(_rns.fast_bconv_sk)(xb, skc)))
