@@ -374,6 +374,24 @@ class FHE:
             return _bs.bootstrap_binary(self.ctx, self._next_key(), ct, sk,
                                         bsk, ks_keys=ks)
 
+    def bootstrap_binary_batch(self, cts: list, sk: SecretKey, bsk) -> list:
+        """B independent binary bootstraps through ONE batched blind
+        rotation (the 2n external products amortize across the batch);
+        element i's plaintext == bootstrap_binary(cts[i])'s."""
+        from .scheme import bootstrap as _bs
+        if self.scheme_name != "bfv":
+            raise NotImplementedError("bootstrap pipeline is BFV-only")
+        ck = id(sk)
+        ks = self._bootstrap_ks_cache.get(ck)
+        if ks is None:
+            import weakref
+            ks = _bs.keyswitch_keygen(self.ctx, self._next_key(), sk, sk)
+            self._bootstrap_ks_cache[ck] = ks
+            weakref.finalize(
+                sk, lambda c=self._bootstrap_ks_cache, i=ck: c.pop(i, None))
+        with self.monitor.time("bootstrap_binary_batch"):
+            return _bs.bootstrap_binary_batch(self.ctx, cts, bsk, ks)
+
     def key_switch(self, ct, ks_keys, keys_at_level: bool = False):
         """Switch a 2-component ct under s' to one under s (reference decl
         ``include/fhe.cuh:134-135``); ks_keys from scheme-layer
