@@ -200,6 +200,110 @@ def _sk_kernel(paux_ref, inv_ref, invsh_ref, phat_ref, phatsh_ref,
     o_ref[...] = mm.sub_mod(conv_q, aB, c)[None]
 
 
+def _bsk_branch_kernel(psrc_ref, mtinv_ref, mtinvsh_ref, sphat_ref,
+                       sphatsh_ref, pmt_ref, pdst_ref, qmod_ref, qmodsh_ref,
+                       invmt_ref, invmtsh_ref, scmt_ref,
+                       finv_ref, finvsh_ref, fphat_ref, fphatsh_ref,
+                       invq_ref, invqsh_ref, mu_ref, ninv_ref, ninvsh_ref,
+                       fw_ref, fwsh_ref, iw_ref, iwsh_ref,
+                       ab_ref, txq_ref, o_ref):
+    """One Bsk prime's ENTIRE multiply branch in one VMEM pass:
+    SmMRq lift of both operands -> forward NTT -> tensor product ->
+    inverse NTT with the t-scale folded into the normalization ->
+    FastFloor.  ab [k, 4, 8, L] (a|b residues), txq [k, 3, 8, L]
+    (t-scaled q-base tensor product), output floored row j [1, 3, 8, L]."""
+    j = pl.program_id(0)
+    c = pdst_ref[j, 0]
+    mu_c = mu_ref[j, 0]
+    L = ab_ref.shape[-1]
+    n = 8 * L
+    ab = ab_ref[...]                                     # [k, 4, 8, L]
+    # ---- SmMRq lift at prime j (see _smq_kernel) ----
+    ys = _digits(ab, mtinv_ref, mtinvsh_ref, psrc_ref)
+    conv = _accum(ys, sphat_ref, sphatsh_ref, j, c)      # [4, 8, L]
+    amt = jnp.zeros_like(ys[0])
+    for i, y in enumerate(ys):
+        amt = (amt + (y & _MASK16) * pmt_ref[i, 0]) & _MASK16
+    alpha = (amt * scmt_ref[0, 0]) & _MASK16
+    alpha_mod = jnp.where(alpha < _U(1 << 15), alpha,
+                          c - (_U(1 << 16) - alpha))
+    aq = mm.mul_mod_shoup(alpha_mod, qmod_ref[j, 0], qmodsh_ref[j, 0], c)
+    lift = mm.mul_mod_shoup(
+        mm.sub_mod(conv, aq, c), invmt_ref[j, 0], invmtsh_ref[j, 0], c)
+    # ---- tensor product at prime j (t folded into the inverse tables) ----
+    from . import ntt_pallas as _npal
+    wf = lambda s: (fw_ref[0, s][None], fwsh_ref[0, s][None])
+    wi = lambda s: (iw_ref[0, s][None], iwsh_ref[0, s][None])
+    f = _npal._fwd_sweep_folded_lazy(lift, wf, c, n)     # [4, 8, L]
+    a0, a1, b0, b1 = f[0:1], f[1:2], f[2:3], f[3:4]
+    c0 = mm.mul_mod_barrett(a0, b0, c, mu_c)
+    c2 = mm.mul_mod_barrett(a1, b1, c, mu_c)
+    c1 = mm.add_mod(mm.mul_mod_barrett(a0, b1, c, mu_c),
+                    mm.mul_mod_barrett(a1, b0, c, mu_c), c)
+    prod = jnp.concatenate([c0, c1, c2], axis=0)         # [3, 8, L]
+    txb = _npal._inv_sweep_folded_lazy(
+        prod, wi, ninv_ref[j, 0], ninvsh_ref[j, 0], c, n)
+    # ---- FastFloor at prime j (see _floor_kernel) ----
+    ys2 = _digits(txq_ref[...], finv_ref, finvsh_ref, psrc_ref)
+    conv2 = _accum(ys2, fphat_ref, fphatsh_ref, j, c)
+    o_ref[...] = mm.mul_mod_shoup(
+        mm.sub_mod(txb, conv2, c), invq_ref[j, 0], invqsh_ref[j, 0],
+        c)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsk_branch_fused(ab: jax.Array, tx_q: jax.Array, sc: SmMRqConsts,
+                     fc: FastFloorConsts, pt_bsk,
+                     interpret: bool = False) -> jax.Array:
+    """The multiply's whole Bsk branch, ONE kernel per Bsk prime (r4):
+    replaces sm_mrq_fused + tensor_product(bsk) + fast_floor_fused —
+    the lift and tx_bsk tensors never touch HBM.
+
+    ab   [k, 4, n]  concat of both operands' residues (a | b)
+    tx_q [k, 3, n]  t-scaled q-base tensor product (tensor_product(tq_pl))
+    pt_bsk          t-folded Bsk Pallas tables (context.ntt_mul_pl_levels)
+    Returns floored [kb, 3, n]; bit-exact with the composed three-kernel
+    path (tests/test_pallas.py).  Requires n >= 1024 (folded layout)."""
+    k, four, n = ab.shape
+    assert four == 4 and tx_q.shape == (k, 3, n)
+    assert n >= 1024 and n % 1024 == 0
+    cc = sc.conv
+    kb = cc.p_dst.shape[0]
+    s = pt_bsk.fwd_w.shape[1]
+    L = n // 8
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tablef = pl.BlockSpec((1, s, 8, L), lambda j: (j, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ab_in = pl.BlockSpec((k, 4, 8, L), lambda j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    txq_in = pl.BlockSpec((k, 3, 8, L), lambda j: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((1, 3, 8, L), lambda j: (j, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bsk_branch_kernel,
+        grid=(kb,),
+        in_specs=[smem] * 21 + [tablef] * 4 + [ab_in, txq_in],
+        out_specs=dout,
+        out_shape=jax.ShapeDtypeStruct((kb, 3, 8, L), jnp.uint32),
+        interpret=interpret,
+    )(cc.p_src[:, None], sc.mt_times_inv_phat[:, None],
+      sc.mt_times_inv_phat_shoup[:, None], cc.phat_mod_dst,
+      cc.phat_shoup_dst, sc.phat_mod_mt[:, None], cc.p_dst[:, None],
+      sc.q_mod_dst[:, None], sc.q_shoup_dst[:, None],
+      sc.inv_mt_dst[:, None], sc.inv_mt_shoup_dst[:, None],
+      sc.inv_q_mt[None, None],
+      fc.conv.inv_phat[:, None], fc.conv.inv_phat_shoup[:, None],
+      fc.conv.phat_mod_dst, fc.conv.phat_shoup_dst,
+      fc.inv_q_dst[:, None], fc.inv_q_shoup_dst[:, None],
+      pt_bsk.mu, pt_bsk.n_inv, pt_bsk.n_inv_shoup,
+      pt_bsk.fwd_w.reshape(kb, s, 8, L),
+      pt_bsk.fwd_w_sh.reshape(kb, s, 8, L),
+      pt_bsk.inv_w.reshape(kb, s, 8, L),
+      pt_bsk.inv_w_sh.reshape(kb, s, 8, L),
+      ab.reshape(k, 4, 8, L), tx_q.reshape(k, 3, 8, L)).reshape(kb, 3, n)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fast_bconv_sk_fused(x_bsk: jax.Array, sk: SKConsts,
                         interpret: bool = False) -> jax.Array:

@@ -523,13 +523,21 @@ def multiply_no_relin(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphe
         # Shenoy-Kumaresan back-conversion (rns_pallas.*_fused) — no
         # multi-pass XLA elementwise chains between kernels.
         from ..ops import rns_pallas as _rns_pl
-        lift = _rns_pl.sm_mrq_fused(
-            jnp.concatenate([a.data, b.data], axis=1), smq)  # [l+1, 4, n]
         tq_pl, tbsk_pl = ctx.ntt_mul_pl_levels[level]
         tx_q = _ntt_pl.tensor_product(a.data, b.data, tq_pl)
-        tx_bsk = _ntt_pl.tensor_product(lift[:, :2], lift[:, 2:], tbsk_pl)
-        floored = _rns_pl.fast_floor_fused(tx_q, tx_bsk,
-                                           ctx.floor_levels[level])
+        ab = jnp.concatenate([a.data, b.data], axis=1)       # [kl, 4, n]
+        if ctx.n >= 1024:
+            # r4: the whole Bsk branch (lift -> NTT tensor -> floor) is ONE
+            # kernel per Bsk prime — the lift and tx_bsk tensors never
+            # touch HBM (rns_pallas.bsk_branch_fused)
+            floored = _rns_pl.bsk_branch_fused(
+                ab, tx_q, smq, ctx.floor_levels[level], tbsk_pl)
+        else:
+            lift = _rns_pl.sm_mrq_fused(ab, smq)             # [l+1, 4, n]
+            tx_bsk = _ntt_pl.tensor_product(lift[:, :2], lift[:, 2:],
+                                            tbsk_pl)
+            floored = _rns_pl.fast_floor_fused(tx_q, tx_bsk,
+                                               ctx.floor_levels[level])
         out = _rns_pl.fast_bconv_sk_fused(floored, ctx.sk_levels[level])
     else:
         # Step 1: centered lift of all 4 components into Bsk.

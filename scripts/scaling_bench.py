@@ -118,6 +118,20 @@ def build_inventories(n: int = 8192) -> list[dict]:
         out.append({"strategy": "coeff", "devices": d, "n": n,
                     **collective_inventory(txt)})
 
+        # coeff_scheme: the FULL scheme multiply+relin with the coefficient
+        # axis sharded (r4) — conversions + inner product are shard-local,
+        # so the inventory should show ONLY the distributed NTTs' ppermutes
+        if d > 1 and (d & (d - 1)) == 0:
+            csh = NamedSharding(cmesh, P(None, None, "coeff"))
+            c1d = jax.device_put(ct1.data, csh)
+            c2d = jax.device_put(ct2.data, csh)
+            f_cs = jax.jit(lambda x, y: dntt.multiply_relin_coeff_sharded(
+                fhe.ctx, ct1.replace(data=x), ct2.replace(data=y), rlk,
+                cmesh).data)
+            txt = f_cs.lower(c1d, c2d).compile().as_text()
+            out.append({"strategy": "coeff_scheme", "devices": d, "n": n,
+                        **collective_inventory(txt)})
+
         # dp: batch-sharded vmapped multiply (embarrassingly parallel —
         # the inventory documents that NO collectives appear)
         dmesh = _mesh.make_mesh({"dp": d}, devices)

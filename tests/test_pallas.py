@@ -17,7 +17,8 @@ from fhe_tpu.ops import rns_pallas as rpal
 
 RNG = np.random.default_rng(31)
 
-_RNS_KERNELS = ("sm_mrq_fused", "fast_floor_fused", "fast_bconv_sk_fused")
+_RNS_KERNELS = ("sm_mrq_fused", "fast_floor_fused", "fast_bconv_sk_fused",
+                "bsk_branch_fused")
 
 
 def _patch_interpret(monkeypatch, names):
@@ -758,6 +759,23 @@ def test_hoisted_fused_epilogue_matches_composed(monkeypatch):
         "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
         "keyswitch_fused", "keyswitch_fused_batch", "ks_inner_batch",
         "decrypt_fused"))
+    # keep THIS test's executables out of the persistent cache: the hoisted
+    # path bakes the Galois key stacks in as jaxpr constants and
+    # executable.serialize() SEGFAULTS on the resulting proto (observed in
+    # three consecutive full-suite runs, always at this test's compiles)
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        _run_hoisted_fused_epilogue_body()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
+def _run_hoisted_fused_epilogue_body():
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
     params = make_scheme_params(SecurityParams(
         poly_degree=1024, log_q=60, lambda_=0, hamming_weight=8))
     ctx = make_context(params, use_pallas=True, use_mxu=False)
@@ -823,3 +841,35 @@ def test_fused_behz_conversions_folded_layout():
     np.testing.assert_array_equal(
         np.asarray(rpal.fast_bconv_sk_fused(xb, skc, interpret=True)),
         np.asarray(jax.jit(_rns.fast_bconv_sk)(xb, skc)))
+
+
+def test_bsk_branch_fused_matches_composed():
+    """The one-kernel Bsk branch (SmMRq lift -> NTT tensor product with
+    folded t-scale -> FastFloor, rns_pallas.bsk_branch_fused) must be
+    bit-exact with the composed three-kernel path, level 0 and 1."""
+    from fhe_tpu.ops import rns_pallas as rp
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme.context import make_context
+
+    params = make_scheme_params(SecurityParams(
+        poly_degree=1024, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=True, use_mxu=False)
+    n = params.n
+    for lvl in (0, 1):
+        kl = params.k - lvl
+        ps = params.q_primes[:kl]
+        ab = jnp.asarray(np.stack([
+            RNG.integers(0, p, (4, n), dtype=np.uint32) for p in ps]))
+        smq = ctx.smq_levels[lvl]
+        fc = ctx.floor_levels[lvl]
+        tq_pl, tbsk_pl = ctx.ntt_mul_pl_levels[lvl]
+        tx_q = npal.tensor_product(ab[:, :2], ab[:, 2:], tq_pl,
+                                   interpret=True)
+        lift = rp.sm_mrq_fused(ab, smq, interpret=True)
+        tx_bsk = npal.tensor_product(lift[:, :2], lift[:, 2:], tbsk_pl,
+                                     interpret=True)
+        want = np.asarray(rp.fast_floor_fused(tx_q, tx_bsk, fc,
+                                              interpret=True))
+        got = np.asarray(rp.bsk_branch_fused(ab, tx_q, smq, fc, tbsk_pl,
+                                             interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"lvl{lvl}")
