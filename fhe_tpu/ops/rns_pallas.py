@@ -15,15 +15,17 @@ Three kernels cover the BEHZ multiply's conversion steps (SURVEY §3.4):
 Each is bit-exact with its ops/rns.py counterpart (tests/test_pallas.py)
 and dispatched from scheme/bfv.py on Pallas contexts.
 
-Measured verdict (v5e, fair interleaved A/B with both operands varying,
-full multiply+relin at n=8192/k=3): fused 83.1 us vs jnp 84.5 us — a
-WASH.  XLA already auto-fuses these memory-bound elementwise trees well;
-the kernels trade its multi-pass HBM traffic for per-dst-row digit
-recompute plus kernel launches.  They stay wired because (a) the single
-sm_mrq_fused call lifts BOTH multiply operands (and the whole batch in
-multiply_batch) where the jnp path vmapped per operand, and (b) the
-dispatch count and compiled-program size shrink — but do not expect a
-latency win from them.
+r3 measured verdict (flat layout): fused 83.1 us vs jnp 84.5 us full
+multiply — a WASH (XLA auto-fuses these memory-bound elementwise trees
+well; the kernels traded multi-pass HBM traffic for per-dst-row digit
+recompute plus launches).  r4 changed both halves of that tradeoff:
+
+  * the wrappers now FOLD the lane axis to [k, B, 8, n/8] at n >= 1024 —
+    the B = 2-4 row blocks only filled 2-4 of the VPU's 8 sublanes, so the
+    elementwise trees ran at <= half utilization;
+  * bsk_branch_fused merges SmMRq + the Bsk tensor product (t-scale folded
+    into the inverse normalization) + FastFloor into ONE kernel per Bsk
+    prime, so the lift and tx_bsk tensors never exist in HBM at all.
 
 """
 

@@ -23,9 +23,13 @@ import jax
 
 # The session-level axon (TPU) plugin ignores the env var, so force via config.
 jax.config.update("jax_platforms", "cpu")
-# CPU tests get their OWN cache dir: processes attached to the remote TPU
-# tunnel write CPU executables into /tmp/jax_cache compiled with the REMOTE
-# host's machine features (+prefer-no-scatter etc.), and loading those here
-# segfaults (observed r4: SIGSEGV inside compilation_cache.get_executable).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# The persistent compilation cache is DISABLED for the suite (r4): on this
+# box `executable.serialize()` segfaults nondeterministically on large
+# executables (ones with big baked-in constants — key material closed over
+# in jitted test helpers), killing the whole pytest process mid-run; the
+# crash moved between tests across runs (compilation_cache.put/get line
+# 238/265 stacks).  Before that, the SHARED /tmp/jax_cache also crashed
+# loads: processes attached to the remote TPU tunnel write CPU executables
+# with the REMOTE host's machine features.  Cold compiles cost ~5 extra
+# minutes per run — a segfaulting suite costs everything.
+jax.config.update("jax_enable_compilation_cache", False)
