@@ -201,7 +201,7 @@ def main():
 
     # ---- multiply + relinearize (the headline; reference ~40 ms) ----
     add_chain("mul", lambda a: bfv.multiply(
-        ctx, ct1.replace(data=a), ct2, rlk).data, ct1.data, hi=150, lo=10)
+        ctx, ct1.replace(data=a), ct2, rlk).data, ct1.data, hi=305, lo=20)
 
     # leveled multiply (level 1, k-1 primes, precomputed level keys)
     ct1_l1 = fhe.mod_switch_to_next(ct1)
@@ -360,7 +360,7 @@ def main():
     pts8 = [pt] * 8
     chains.append(KeyedChain("enc_b8", lambda k, c: fold_u32(jnp.stack(
         [o.data for o in bfv.encrypt_batch(ctx, jrandom.fold_in(k, c), pk,
-                                           pts8)])), hi=45, lo=5, div=8.0))
+                                           pts8)])), hi=105, lo=10, div=8.0))
     cts8 = bfv.encrypt_batch(ctx, jrandom.PRNGKey(9), pk, pts8)
 
     def decB_step(k, c):
