@@ -725,10 +725,12 @@ def multiply_batch(ctx: SchemeContext, cts_a: list, cts_b: list,
     a_st = jnp.stack([to_coeff(ctx, a).data for a in cts_a])  # [B, k, 2, n]
     b_st = jnp.stack([to_coeff(ctx, b).data for b in cts_b])
     smq = ctx.smq_levels[level]
-    # conversions stay the vmapped jnp chains here: routing them through
-    # the fused rns_pallas kernels needs [k, B*c, n] flattening transposes
-    # whose relayouts cost more than the kernels save (measured: batched
-    # multiply regressed 53 -> 77 us/op with them)
+    # conversions stay the vmapped jnp chains here (re-measured r4): even a
+    # TRANSPOSE-FREE k-major routing through the fused folded kernels
+    # regressed 53 -> 76 us/op — at B=8 the [B,k,c,n] elementwise trees
+    # already fill the sublanes under XLA fusion, and the fused kernels'
+    # per-dst-row digit recompute is pure extra work in this regime (it
+    # only pays on SINGLE ciphertexts, where the rows would sit idle)
     lift_a = jax.vmap(_rns.sm_mrq, in_axes=(0, None))(a_st, smq)
     lift_b = jax.vmap(_rns.sm_mrq, in_axes=(0, None))(b_st, smq)
     to_k = lambda t: jnp.transpose(t, (1, 2, 0, 3))    # [B,k,c,n]->[k,c,B,n]

@@ -28,7 +28,14 @@ import jax  # noqa: E402
 
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# per-platform cache (CPU entries written by TPU-tunnel processes carry
+# foreign machine features and can SIGILL/segfault when loaded here)
+import os as _os
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/jax_cache_cpu"
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    else "/tmp/jax_cache")
 
 
 def run_circuit(seed: int) -> tuple[bool, str]:

@@ -27,7 +27,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# per-platform cache (CPU entries written by TPU-tunnel processes carry
+# foreign machine features and can SIGILL/segfault when loaded here)
+import os as _os
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/jax_cache_cpu"
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    else "/tmp/jax_cache")
 
 import bench  # the repo-root harness: Chain / run_rounds
 

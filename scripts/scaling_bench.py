@@ -26,7 +26,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# per-platform cache (CPU entries written by TPU-tunnel processes carry
+# foreign machine features and can SIGILL/segfault when loaded here)
+import os as _os
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/jax_cache_cpu"
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    else "/tmp/jax_cache")
 # The session TPU plugin ignores JAX_PLATFORMS; honor it explicitly so the
 # virtual-device recipe in the docstring works.
 if os.environ.get("JAX_PLATFORMS"):
