@@ -265,27 +265,60 @@ class FHE:
         level = ct.level
         if level:
             gal_keys = self._gal_at(gal_keys, level)
-        pre = None
-        if getattr(self.ctx, "use_pallas", False) and len(elements) > 1:
-            ck = (id(gal_keys), elements, level)
-            pre = self._hoist_cache.get(ck)
-            if pre is None:
-                import weakref
-                with self.monitor.time("hoisted_galois_keys"):
-                    pre = bfv.hoisted_galois_keys(
-                        self.ctx, gal_keys, elements, level,
-                        bgv=self.scheme_name == "bgv",
-                        keys_at_level=level > 0)
-                self._hoist_cache[ck] = pre
-                kid = id(gal_keys)
-                weakref.finalize(
-                    gal_keys, lambda c=self._hoist_cache, i=kid: [
-                        c.pop(kk) for kk in list(c) if kk[0] == i])
+        pre = self._hoisted_pre(gal_keys, elements, level)
         with self.monitor.time("rotate_hoisted"):
             return self._scheme.apply_galois_hoisted(
                 self.ctx, ct, elements, gal_keys,
                 bgv=self.scheme_name == "bgv", keys_at_level=level > 0,
                 pre_keys=pre)
+
+    def _hoisted_pre(self, gal_keys: GaloisKeys, elements: tuple, level: int):
+        """Cached inverse-eval-permuted key stack per (keys, elements,
+        level); None when the fast path doesn't apply."""
+        if not getattr(self.ctx, "use_pallas", False) or len(elements) <= 1:
+            return None
+        ck = (id(gal_keys), elements, level)
+        pre = self._hoist_cache.get(ck)
+        if pre is None:
+            import weakref
+            with self.monitor.time("hoisted_galois_keys"):
+                pre = bfv.hoisted_galois_keys(
+                    self.ctx, gal_keys, elements, level,
+                    bgv=self.scheme_name == "bgv",
+                    keys_at_level=level > 0)
+            self._hoist_cache[ck] = pre
+            kid = id(gal_keys)
+            weakref.finalize(
+                gal_keys, lambda c=self._hoist_cache, i=kid: [
+                    c.pop(kk) for kk in list(c) if kk[0] == i])
+        return pre
+
+    def rotate_rows_hoisted_batch(self, cts, steps_list,
+                                  gal_keys: GaloisKeys):
+        """Hoisted rotations of C INDEPENDENT ciphertexts by the same step
+        set, all sharing one batched kernel chain
+        (bfv.apply_galois_hoisted_batch): outs[c][e] ==
+        rotate_rows(cts[c], steps_list[e]) up to digit representatives.
+        Key requirements match rotate_rows_hoisted (direct Galois keys)."""
+        m = 2 * self.params.n
+        elements = tuple(pow(3, int(s), m) for s in steps_list)
+        for g in elements:
+            if g not in gal_keys.data:
+                raise KeyError(
+                    f"no galois key for element {g}; generate with "
+                    f"galoiskey_gen(sk, elements={list(elements)})")
+        level = cts[0].level if cts else 0
+        if level:
+            gal_keys = self._gal_at(gal_keys, level)
+        pre = self._hoisted_pre(gal_keys, elements, level)
+        fn = getattr(self._scheme, "apply_galois_hoisted_batch", None)
+        if fn is None:
+            return [self.rotate_rows_hoisted(ct, steps_list, gal_keys)
+                    for ct in cts]
+        with self.monitor.time("rotate_hoisted_batch"):
+            return fn(self.ctx, cts, elements, gal_keys,
+                      bgv=self.scheme_name == "bgv",
+                      keys_at_level=level > 0, pre_keys=pre)
 
     def sum_slots_elements(self) -> tuple:
         """Galois elements enabling the FAST sum_slots: the default

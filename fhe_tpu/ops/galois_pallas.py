@@ -122,6 +122,18 @@ def _auto_kernel_c0(p_ref, x_ref, c0_ref, o_ref, *, hs, n, R, R2, L2):
         o_ref[0, :, b] = _apply_one(x[:, b], h, n, p, R, R2, L2)
 
 
+def _auto_kernel_c0b(p_ref, x_ref, c0_ref, o_ref, *, hs, n, R, R2, L2):
+    """Per-element c0 variant (multi-ciphertext hoisted epilogue: element b
+    belongs to ciphertext b // E and adds THAT ciphertext's c0)."""
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    x = x_ref[0]                            # [C, B, R, R2, L2]
+    c0 = c0_ref[0]                          # [B, R, R2, L2]
+    x = jnp.concatenate([mm.add_mod(x[:1], c0[None], p), x[1:]], axis=0)
+    for b, h in enumerate(hs):
+        o_ref[0, :, b] = _apply_one(x[:, b], h, n, p, R, R2, L2)
+
+
 @functools.partial(jax.jit, static_argnames=("hs", "interpret"))
 def automorphism_fused(x: jax.Array, hs: tuple[int, ...], p: jax.Array,
                        c0: jax.Array | None = None,
@@ -132,6 +144,7 @@ def automorphism_fused(x: jax.Array, hs: tuple[int, ...], p: jax.Array,
         STATIC multiplier hs[b] (h = g^-1 mod 2n -> out[j] = +-x[h*j mod n])
     c0: optional [k, n] poly added (mod p) to component 0 of EVERY element
         before the permutation — the hoisted-rotation epilogue's c0 + delta0
+        — or [k, B, n] for a PER-ELEMENT c0 (multi-ciphertext hoisting)
     p:  [k] (or [k, 1]) primes
     Returns [k, C, B, n]."""
     k, C, B, n = x.shape
@@ -156,11 +169,21 @@ def automorphism_fused(x: jax.Array, hs: tuple[int, ...], p: jax.Array,
             out_shape=jax.ShapeDtypeStruct((k, C, B, R, R2, L2), jnp.uint32),
             interpret=interpret,
         )(p2, xf).reshape(k, C, B, n)
-    c0f = c0.reshape(k, 1, R, R2, L2)
-    blk_c0 = pl.BlockSpec((1, 1, R, R2, L2), lambda i: (i, 0, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
+    if c0.ndim == 3:                       # [k, B, n]: per-element c0
+        assert c0.shape == (k, B, n)
+        c0f = c0.reshape(k, B, R, R2, L2)
+        blk_c0 = pl.BlockSpec((1, B, R, R2, L2), lambda i: (i, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _auto_kernel_c0b, hs=hs_i, n=n, R=R, R2=R2, L2=L2)
+    else:
+        c0f = c0.reshape(k, 1, R, R2, L2)
+        blk_c0 = pl.BlockSpec((1, 1, R, R2, L2), lambda i: (i, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _auto_kernel_c0, hs=hs_i, n=n, R=R, R2=R2, L2=L2)
     return pl.pallas_call(
-        functools.partial(_auto_kernel_c0, hs=hs_i, n=n, R=R, R2=R2, L2=L2),
+        kern,
         grid=(k,),
         in_specs=[smem, blk_in, blk_c0],
         out_specs=blk_out,

@@ -1111,6 +1111,66 @@ def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
     return outs
 
 
+def apply_galois_hoisted_batch(ctx: SchemeContext, cts: list, elements,
+                               gal_keys: GaloisKeys, bgv: bool = False,
+                               keys_at_level: bool = False,
+                               pre_keys: jax.Array | None = None
+                               ) -> list[list[Ciphertext]]:
+    """Hoisted rotations for C INDEPENDENT ciphertexts sharing every kernel
+    dispatch: one batched digit decomposition (kd*C rows through one NTT
+    sweep), one ks_inner_batch over C*E rows, and ONE fused automorphism
+    epilogue with per-element c0.  The k=8 single-ct hoisted path is
+    inverse-NTT bound (2 INTTs per element are irreducible) — batching
+    independent ciphertexts' hoisted sets fills the sublanes those INTTs
+    leave idle (CLAUDE.md open item; ref decl include/fhe.cuh:113-116).
+
+    Returns outs[c][e] == apply_galois(cts[c], elements[e]) up to digit
+    representatives (decrypt-identical, same noise; see
+    apply_galois_hoisted's docstring)."""
+    E = len(elements)
+    C = len(cts)
+    level = cts[0].level
+    if (not ctx.use_pallas or C == 1 or ctx.n < 1024
+            or any(ct.level != level for ct in cts)):
+        return [apply_galois_hoisted(ctx, ct, elements, gal_keys, bgv,
+                                     keys_at_level, pre_keys) for ct in cts]
+    assert all(ct.num_components == 2 for ct in cts)
+    cts = [to_coeff(ctx, ct) for ct in cts]
+    n = ctx.n
+    kq = ctx.k - level
+    tb = _tb(ctx, level)
+    inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
+    # batched gadget decomposition: [k, C, n] -> digits [k, kd, C, n]
+    c1 = jnp.stack([ct.data[:, 1] for ct in cts], axis=1)
+    d = mm.mul_mod_shoup(c1, inv_qhat[:, None, None],
+                         inv_qhat_sh[:, None, None], tb.p[:, None, None])
+    d_all = mm.barrett_reduce_u32(
+        d[None], tb.p[:, None, None, None], tb.mu[:, None, None, None])
+    d_ntt = _fwd_q(ctx, d_all.reshape(kq, kq * C, n), level)
+    d_ntt = d_ntt.reshape(kq, kq, C, n)
+    # flatten (ct, element) to one batch axis b = c*E + e: digits repeat
+    # per element, the pre-permuted key stack tiles per ciphertext
+    keys_st = (pre_keys if pre_keys is not None else hoisted_galois_keys(
+        ctx, gal_keys, elements, level, bgv, keys_at_level))
+    dg_full = jnp.repeat(d_ntt, E, axis=2)             # [k, kd, C*E, n]
+    keys_full = jnp.tile(keys_st, (1, 1, C, 1, 1))     # [k, kd, C*E, 2, n]
+    delta = _ntt_pl.ks_inner_batch(
+        dg_full, keys_full, _ntt_pl.slice_tables(ctx.ntt_q_pl, kq))
+    hs = tuple(pow(int(g), -1, 2 * n) for g in elements) * C
+    c0s = jnp.repeat(jnp.stack([ct.data[:, 0] for ct in cts], axis=1),
+                     E, axis=1)                        # [k, C*E, n]
+    data_all = _gal_pl.automorphism_fused(delta, hs, tb.p, c0=c0s)
+    outs = []
+    for c, ct in enumerate(cts):
+        nb = _b_of(ctx, level,
+                   _noise.add(_noise.galois(_v_of(ctx, ct)),
+                              _noise.keyswitch_add(ctx.params, level)))
+        outs.append([ct.replace(data=data_all[:, :, c * E + e],
+                                noise_budget=nb)
+                     for e in range(E)])
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # modulus switching + bootstrap pipeline (declared-only in the reference)
 # ---------------------------------------------------------------------------

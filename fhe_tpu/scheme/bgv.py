@@ -48,6 +48,7 @@ from .bfv import (_fwd_q, _inv_q, _lift_plain, _p3, _phase, _tb, to_coeff,
 key_switch = _bfv.key_switch
 apply_galois = _bfv.apply_galois
 apply_galois_hoisted = _bfv.apply_galois_hoisted
+apply_galois_hoisted_batch = _bfv.apply_galois_hoisted_batch
 
 
 def _t_scale(ctx: SchemeContext, e: jax.Array, level: int = 0) -> jax.Array:

@@ -231,6 +231,24 @@ def test_hoisted_rotations_match_sequential(fhe, keys):
     assert list(r2[:2]) == [15, 20]
 
 
+def test_hoisted_rotation_multi_ct(fhe, keys):
+    """rotate_rows_hoisted_batch: C independent ciphertexts x E steps in one
+    hoisted sweep; outs[c][e] decrypts like rotate_rows(cts[c], steps[e])."""
+    pk, sk, _ = keys
+    m = 2 * fhe.params.n
+    steps = [1, 2]
+    gk = fhe.galoiskey_gen(sk, elements=[pow(3, s, m) for s in steps])
+    base = [[10 * c + j for j in range(1, 7)] for c in range(3)]
+    cts = [fhe.encrypt(fhe.encode(v), pk) for v in base]
+    outs = fhe.rotate_rows_hoisted_batch(cts, steps, gk)
+    assert len(outs) == 3 and all(len(o) == 2 for o in outs)
+    for c in range(3):
+        for s, out in zip(steps, outs[c]):
+            got = fhe.decode(fhe.decrypt(out, sk))
+            assert list(got[:3]) == base[c][s:s + 3], (c, s)
+            assert fhe.estimate_noise_budget(out, sk) > 10.0
+
+
 def test_hoisted_rotation_arbitrary_steps(fhe, keys):
     """Non-power-of-two hoisted rotations (the whole point of hoisting —
     e.g. matrix-vector diagonals): galoiskey_gen for g outside the default

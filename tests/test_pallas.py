@@ -474,6 +474,48 @@ def test_hoisted_batched_matches_composed(monkeypatch):
         assert list(dec[:3]) == [1 + s, 2 + s, 3 + s], (s, dec[:3])
 
 
+def test_hoisted_multi_ct_batched(monkeypatch):
+    """apply_galois_hoisted_batch (C independent ciphertexts x E elements
+    through ONE kernel chain: batched digit NTT, one ks_inner_batch over
+    C*E rows, one fused per-element-c0 automorphism epilogue) must be
+    bit-exact with per-ciphertext apply_galois_hoisted on the same pallas
+    context, and every output must decrypt to the right rotation.
+    n = 1024 so the fused epilogue path (n >= 1024) is the one under test."""
+    import jax.random as jrandom
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    _patch_interpret(monkeypatch, (
+        "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
+        "keyswitch_fused", "ks_inner_batch", "decrypt_fused"))
+    params = make_scheme_params(SecurityParams(
+        poly_degree=1024, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=True, use_mxu=False)
+    ctx_ref = make_context(params, use_pallas=False, use_mxu=False)
+    key = jrandom.PRNGKey(47)
+    pk, sk = bfv.keygen(ctx_ref, jrandom.fold_in(key, 0))
+    steps = (1, 2, 3)
+    elems = tuple(pow(3, s, 2 * params.n) for s in steps)
+    gal = bfv.galoiskey_gen(ctx_ref, jrandom.fold_in(key, 1), sk,
+                            elements=elems)
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    base = [[10 * c + j for j in range(1, 9)] for c in range(2)]
+    cts = [bfv.encrypt(ctx_ref, jrandom.fold_in(key, 2 + c), pk,
+                       enc.encode(base[c])) for c in range(2)]
+    got = bfv.apply_galois_hoisted_batch(ctx, cts, elems, gal)
+    for c, ct in enumerate(cts):
+        want = bfv.apply_galois_hoisted(ctx, ct, elems, gal)
+        for e, (g, w) in enumerate(zip(got[c], want)):
+            np.testing.assert_array_equal(
+                np.asarray(g.data), np.asarray(w.data)), (c, e)
+        for s, g in zip(steps, got[c]):
+            dec = enc.decode(bfv.decrypt(ctx_ref, g, sk))
+            assert list(dec[:3]) == [base[c][s], base[c][s + 1],
+                                     base[c][s + 2]], (c, s)
+
+
 @pytest.mark.parametrize("t", [65537, 786433])
 def test_decrypt_fused_matches_composed(t):
     """The one-kernel decrypt (phase + gamma trick in VMEM) == the composed
