@@ -307,14 +307,20 @@ class FHE:
                 raise KeyError(
                     f"no galois key for element {g}; generate with "
                     f"galoiskey_gen(sk, elements={list(elements)})")
-        level = cts[0].level if cts else 0
+        if not cts:
+            return []
+        # fallback decisions use the ORIGINAL gal_keys: rotate_rows_hoisted
+        # does its own level switching, and a pre-switched object here would
+        # be switched a second time (id-keyed cache miss -> wrong keys)
+        fn = getattr(self._scheme, "apply_galois_hoisted_batch", None)
+        levels = {ct.level for ct in cts}
+        if fn is None or len(levels) > 1:
+            return [self.rotate_rows_hoisted(ct, steps_list, gal_keys)
+                    for ct in cts]
+        level = cts[0].level
         if level:
             gal_keys = self._gal_at(gal_keys, level)
         pre = self._hoisted_pre(gal_keys, elements, level)
-        fn = getattr(self._scheme, "apply_galois_hoisted_batch", None)
-        if fn is None:
-            return [self.rotate_rows_hoisted(ct, steps_list, gal_keys)
-                    for ct in cts]
         with self.monitor.time("rotate_hoisted_batch"):
             return fn(self.ctx, cts, elements, gal_keys,
                       bgv=self.scheme_name == "bgv",

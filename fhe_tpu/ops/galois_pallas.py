@@ -45,6 +45,13 @@ from . import modmath as mm
 
 _R = 8  # fold rows per level (sublane count)
 
+_MAX_ELEMS = 16  # per-kernel element block: bounds BOTH the VMEM footprint
+                 # (in+out blocks are C*B*n*4 bytes each; C_cts*E ~ 96 at
+                 # n=8192 would overflow the ~16 MB budget) and the
+                 # compile-time unroll (the kernel body statically unrolls
+                 # one _apply_one per element).  Larger B splits into
+                 # separate pallas_calls on VMEM-sized slices.
+
 
 def _plan(n: int) -> tuple[int, int, int]:
     """(R, R2, L2) in-kernel fold for ring size n; R2 = 1 disables the
@@ -149,6 +156,14 @@ def automorphism_fused(x: jax.Array, hs: tuple[int, ...], p: jax.Array,
     Returns [k, C, B, n]."""
     k, C, B, n = x.shape
     assert len(hs) == B
+    if B > _MAX_ELEMS:
+        outs = []
+        for b0 in range(0, B, _MAX_ELEMS):
+            b1 = min(b0 + _MAX_ELEMS, B)
+            c0c = c0 if (c0 is None or c0.ndim == 2) else c0[:, b0:b1]
+            outs.append(automorphism_fused(
+                x[:, :, b0:b1], hs[b0:b1], p, c0c, interpret=interpret))
+        return jnp.concatenate(outs, axis=2)
     R, R2, L2 = _plan(n)
     xf = x.reshape(k, C, B, R, R2, L2)
     p2 = p.reshape(k, 1).astype(jnp.uint32)

@@ -1127,13 +1127,19 @@ def apply_galois_hoisted_batch(ctx: SchemeContext, cts: list, elements,
     Returns outs[c][e] == apply_galois(cts[c], elements[e]) up to digit
     representatives (decrypt-identical, same noise; see
     apply_galois_hoisted's docstring)."""
+    if not cts:
+        return []
     E = len(elements)
     C = len(cts)
     level = cts[0].level
     if (not ctx.use_pallas or C == 1 or ctx.n < 1024
             or any(ct.level != level for ct in cts)):
-        return [apply_galois_hoisted(ctx, ct, elements, gal_keys, bgv,
-                                     keys_at_level, pre_keys) for ct in cts]
+        # pre_keys (if given) was built for cts[0].level — a ct at another
+        # level must rebuild its own stack (wrong-level key material / kq
+        # shape mismatch in ks_inner_batch otherwise)
+        return [apply_galois_hoisted(
+            ctx, ct, elements, gal_keys, bgv, keys_at_level,
+            pre_keys if ct.level == level else None) for ct in cts]
     assert all(ct.num_components == 2 for ct in cts)
     cts = [to_coeff(ctx, ct) for ct in cts]
     n = ctx.n

@@ -23,13 +23,24 @@ import jax
 
 # The session-level axon (TPU) plugin ignores the env var, so force via config.
 jax.config.update("jax_platforms", "cpu")
-# The persistent compilation cache is DISABLED for the suite (r4): on this
-# box `executable.serialize()` segfaults nondeterministically on large
-# executables (ones with big baked-in constants — key material closed over
-# in jitted test helpers), killing the whole pytest process mid-run; the
-# crash moved between tests across runs (compilation_cache.put/get line
-# 238/265 stacks).  Before that, the SHARED /tmp/jax_cache also crashed
-# loads: processes attached to the remote TPU tunnel write CPU executables
-# with the REMOTE host's machine features.  Cold compiles cost ~5 extra
-# minutes per run — a segfaulting suite costs everything.
-jax.config.update("jax_enable_compilation_cache", False)
+# The persistent compilation cache is DISABLED by default for the suite
+# (r4): on this box `executable.serialize()` segfaults nondeterministically
+# on large executables (ones with big baked-in constants — key material
+# closed over in jitted test helpers), killing the whole pytest process
+# mid-run; the crash moved between tests across runs
+# (compilation_cache.put/get line 238/265 stacks).  Before that, the SHARED
+# /tmp/jax_cache also crashed loads: processes attached to the remote TPU
+# tunnel write CPU executables with the REMOTE host's machine features.
+#
+# FHE_TEST_CACHE=1 (r5, VERDICT r4 next-step #7) re-enables it with two
+# mitigations: a PER-XDIST-WORKER directory (no cross-process sharing at
+# all) and a min-compile-time threshold so only the expensive executables
+# — the ~5-minutes-per-run tail — are ever serialized (far fewer
+# serialize() calls through the crashy path).
+if os.environ.get("FHE_TEST_CACHE") == "1":
+    worker = os.environ.get("PYTEST_XDIST_WORKER", "solo")
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/jax_cache_test_{worker}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
+else:
+    jax.config.update("jax_enable_compilation_cache", False)
