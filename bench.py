@@ -78,7 +78,12 @@ jax.config.update("jax_compilation_cache_dir",
 BASELINE_MUL_MS = 40.0      # BASELINE.md: multiply incl. relin, RTX 4090
 BASELINE_NTT_MS = 1.89      # BASELINE.md: forward NTT n=8192, RTX 4090
 ROUNDS = 7
-BUDGET_S = float(os.environ.get("FHE_BENCH_BUDGET_S", "420"))
+# Default chosen from the driver record: r3's full bench finished under the
+# driver timeout (BENCH_r03 rc=0) while r4's grown one did not (rc=124), so
+# the timeout is on the order of 20+ minutes; 900 s leaves slack for the
+# driver's own startup and the tunnel's multi-minute context-build stalls
+# (group builds measured 65-310 s for the SAME code across runs).
+BUDGET_S = float(os.environ.get("FHE_BENCH_BUDGET_S", "900"))
 T_START = time.time()
 
 
@@ -177,13 +182,20 @@ class KeyedChain(Chain):
 def run_rounds(chains, rounds=ROUNDS):
     """Warm + interleave-sample a group of chains; budget-aware: stops
     adding rounds past the deadline (keeps >= 3 so the median is real)."""
+    t0 = time.time()
     for c in chains:
         c.warm()
+    t_warm = time.time() - t0
+    t0 = time.time()
+    done = rounds
     for r in range(rounds):
         if r >= 3 and _elapsed() > BUDGET_S * 1.15:
+            done = r
             break
         for c in chains:
             c.sample()
+    print(f"#   warm {t_warm:.1f}s, {done} rounds {time.time() - t0:.1f}s",
+          flush=True)
     return {c.name: c.result() for c in chains}
 
 
@@ -274,6 +286,12 @@ class Bench:
             "rotate_hoisted_ms_per_rot_k8": _rnd(ms("rot_hoist_k8")),
             "rotate_hoisted_b4_ms_per_rot_k8": _rnd(ms("rot_hoist_k8_b4")),
             "sum_slots_ms": _rnd(ms("sum_slots")),
+            "pt_mac8_resident_ms": _rnd(ms("pt_mac8_resident")),
+            "pt_mac8_coeff_ms": _rnd(ms("pt_mac8_coeff")),
+            "residency_speedup": (
+                _rnd(res["pt_mac8_coeff"][0] / res["pt_mac8_resident"][0], 2)
+                if "pt_mac8_resident" in res and "pt_mac8_coeff" in res
+                else None),
             "keygen_ms": _rnd(ms("keygen")),
             "keygen_vs_baseline": (
                 _rnd(100.0 / ms("keygen"), 3) if ms("keygen") else None),
@@ -361,6 +379,7 @@ class Bench:
         "rotate_hoisted_ms_per_rot_k8", "rotate_rows_ms_k8",
         "rotate_hoisted_b4_ms_per_rot_k8",
         "sum_slots_ms", "keygen_ms",
+        "pt_mac8_resident_ms", "pt_mac8_coeff_ms", "residency_speedup",
         "bootstrap_ms_n1024", "bootstrap_ms_n1024_b8",
         "external_product_us", "bgv_multiply_relin_ms",
         "modmul_gops", "modmul_roofline_pct", "modmul_roofline_pct_raw",
@@ -567,6 +586,43 @@ def main():
         chains.append(Chain("sum_slots", lambda a: fhe.sum_slots(
             ct1.replace(data=a), gk_ss).data, ct1.data, hi=45, lo=5))
         return chains
+
+    def g_residency():
+        """NTT-form residency (reference include/fhe.cuh:68, VERDICT r4 #3):
+        an 8-term plaintext dot product (multiply-accumulate) entirely in
+        eval domain (1 NTT + 1 INTT total) vs the coefficient-domain chain
+        (each product pays its own INTT; the shared forward transform CSEs
+        either way).  Both use cached NTT-form plaintext operands."""
+        fhe, ctx = env["fhe"], env["ctx"]
+        ct1, sk = env["ct1"], env["sk"]
+        t = env["params"].t
+        vals = [[i + 1, 2 * i + 1, 3, 4] for i in range(8)]
+        pts = [fhe.encode(v) for v in vals]
+        ops = [bfv.plain_ntt_operand(ctx, pt) for pt in pts]
+
+        def mac(d, resident):
+            ct = ct1.replace(data=d)
+            if resident:
+                ct = bfv.to_ntt(ctx, ct)
+            acc = None
+            for pt, op in zip(pts, ops):
+                term = bfv.multiply_plain(ctx, ct, pt, pt_ntt=op)
+                acc = term if acc is None else bfv.add(ctx, acc, term)
+            return bfv.to_coeff(ctx, acc).data
+
+        got_r = fhe.decode(fhe.decrypt(
+            ct1.replace(data=jax.jit(mac, static_argnums=1)(ct1.data, True)),
+            sk))
+        want0 = sum(5 * v[0] for v in vals) % t
+        assert int(got_r[0]) == want0, (got_r[0], want0)
+        got_c = fhe.decode(fhe.decrypt(
+            ct1.replace(data=jax.jit(mac, static_argnums=1)(ct1.data, False)),
+            sk))
+        assert int(got_c[0]) == want0, (got_c[0], want0)
+        return [Chain("pt_mac8_resident", lambda d: mac(d, True),
+                      ct1.data, hi=605, lo=35),
+                Chain("pt_mac8_coeff", lambda d: mac(d, False),
+                      ct1.data, hi=205, lo=15)]
 
     def g_enc_dec():
         fhe, ctx = env["fhe"], env["ctx"]
@@ -821,6 +877,7 @@ def main():
         ("mul_variants", g_mul_variants),
         ("ntt", g_ntt),
         ("rotations", g_rotations),
+        ("residency", g_residency),
         ("k8", g_k8),
         ("n16384", g_n16384),
         ("enc_dec", g_enc_dec),
@@ -838,7 +895,10 @@ def main():
                   flush=True)
             continue
         try:
+            t_build = time.time()
             chains = builder()
+            print(f"# group {name}: build {time.time() - t_build:.1f}s",
+                  flush=True)
             if chains:
                 bench.merge(run_rounds(chains))
             done.append(name)

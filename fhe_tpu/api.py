@@ -83,6 +83,21 @@ class FHE:
         self._gal_cache: dict = {}
         self._hoist_cache: dict = {}
         self._bootstrap_ks_cache: dict = {}
+        self._plain_ntt_cache: dict = {}
+        self._to_ntt = jax.jit(mod.to_ntt)
+        self._to_coeff = jax.jit(mod.to_coeff)
+        # memoized jits for entry points with static knobs (steps, element
+        # tuples, batch sizes): eager execution dispatches every primitive
+        # separately — ruinous through the ~30 ms-RPC device tunnel
+        self._jit_cache: dict = {}
+
+    def _jit(self, key: tuple, make):
+        """Memoized jax.jit(make()) per static-config key."""
+        j = self._jit_cache.get(key)
+        if j is None:
+            j = jax.jit(make())
+            self._jit_cache[key] = j
+        return j
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -133,8 +148,9 @@ class FHE:
         fn = getattr(self._scheme, "encrypt_batch", None)
         if fn is None:
             return [self.encrypt(pt, pk) for pt in pts]
+        j = self._jit(("encrypt_batch", len(pts)), lambda: fn)
         with self.monitor.time("encrypt_batch"):
-            return fn(self.ctx, self._next_key(), pk, pts)
+            return j(self.ctx, self._next_key(), pk, pts)
 
     def decrypt_batch(self, cts: list, sk: SecretKey) -> list:
         """Decrypt B ciphertexts through the batched c1·s kernel
@@ -142,8 +158,9 @@ class FHE:
         fn = getattr(self._scheme, "decrypt_batch", None)
         if fn is None:
             return [self.decrypt(ct, sk) for ct in cts]
+        j = self._jit(("decrypt_batch", len(cts)), lambda: fn)
         with self.monitor.time("decrypt_batch"):
-            return fn(self.ctx, cts, sk)
+            return j(self.ctx, cts, sk)
 
     # -- homomorphic ops --
     def add(self, a, b):
@@ -160,8 +177,40 @@ class FHE:
     def sub_plain(self, ct, pt):
         return self._sub_plain(self.ctx, ct, pt)
 
-    def multiply_plain(self, ct, pt):
-        return self._mul_plain(self.ctx, ct, pt)
+    def multiply_plain(self, ct, pt, cache_operand: bool = False):
+        """cache_operand=True precomputes (and caches per (pt, level)) the
+        NTT-form operand, so repeated products by the SAME Plaintext object
+        skip its forward transform — combined with to_ntt residency this
+        makes a K-term plaintext dot product cost 1 NTT + 1 INTT total
+        instead of K round trips."""
+        op = self.plain_operand(pt, ct.level) if cache_operand else None
+        return self._mul_plain(self.ctx, ct, pt, op)
+
+    # -- NTT-form residency (reference include/fhe.cuh:68 `is_ntt_form`) --
+    def to_ntt(self, ct):
+        """Convert to evaluation (NTT) domain.  add/sub/add_plain/sub_plain/
+        multiply_plain all operate domain-resident; key-switching ops
+        (multiply, rotations) and decrypt convert back internally."""
+        return self._to_ntt(self.ctx, ct)
+
+    def to_coeff(self, ct):
+        return self._to_coeff(self.ctx, ct)
+
+    def plain_operand(self, pt, level: int = 0):
+        """Cached NTT-form multiply_plain operand for a reused Plaintext
+        (evicted when the caller drops the Plaintext object)."""
+        ck = (id(pt), level)
+        op = self._plain_ntt_cache.get(ck)
+        if op is None:
+            import weakref
+            with self.monitor.time("plain_ntt_operand"):
+                op = bfv.plain_ntt_operand(self.ctx, pt, level)
+            self._plain_ntt_cache[ck] = op
+            pid = id(pt)
+            weakref.finalize(
+                pt, lambda c=self._plain_ntt_cache, i=pid: [
+                    c.pop(kk) for kk in list(c) if kk[0] == i])
+        return op
 
     def _keys_at(self, cache: dict, keys, level: int, switch_fn, label: str):
         """Per-level key cache with weakref eviction (shared by relin and
@@ -211,8 +260,11 @@ class FHE:
             return [self.multiply(a, b, rlk) for a, b in zip(cts_a, cts_b)]
         level = cts_a[0].level if cts_a else 0
         rlk_l = self._rlk_at(rlk, level) if level else rlk
+        j = self._jit(("multiply_batch", bool(level)),
+                      lambda kal=bool(level): lambda ctx, a, b, r:
+                      fn(ctx, a, b, r, keys_at_level=kal))
         with self.monitor.time("multiply_batch"):
-            return fn(self.ctx, cts_a, cts_b, rlk_l, keys_at_level=bool(level))
+            return j(self.ctx, cts_a, cts_b, rlk_l)
 
     def multiply_no_relin(self, a, b):
         return self._multiply_no_relin(self.ctx, a, b)
@@ -229,9 +281,13 @@ class FHE:
     def rotate_rows(self, ct, steps: int, gal_keys: GaloisKeys):
         if ct.level:
             gal_keys = self._gal_at(gal_keys, ct.level)
+        rot = self._scheme.rotate_rows
+        j = self._jit(("rotate_rows", int(steps), ct.level > 0),
+                      lambda s=int(steps), kal=ct.level > 0:
+                      lambda ctx, c, gk: rot(ctx, c, s, gk,
+                                             keys_at_level=kal))
         with self.monitor.time("rotate"):
-            return self._scheme.rotate_rows(
-                self.ctx, ct, steps, gal_keys, keys_at_level=ct.level > 0)
+            return j(self.ctx, ct, gal_keys)
 
     def rotate_rows_batch(self, cts, steps: int, gal_keys: GaloisKeys):
         """Rotate B independent ciphertexts by the same step count through
@@ -243,9 +299,12 @@ class FHE:
         level = cts[0].level if cts else 0
         if level:
             gal_keys = self._gal_at(gal_keys, level)
+        j = self._jit(("rotate_rows_batch", int(steps), level > 0),
+                      lambda s=int(steps), kal=level > 0:
+                      lambda ctx, c, gk: fn(ctx, c, s, gk,
+                                            keys_at_level=kal))
         with self.monitor.time("rotate_batch"):
-            return fn(self.ctx, cts, steps, gal_keys,
-                      keys_at_level=level > 0)
+            return j(self.ctx, cts, gal_keys)
 
     def rotate_rows_hoisted(self, ct, steps_list, gal_keys: GaloisKeys):
         """Many rotations of ONE ciphertext sharing a single hoisted gadget
@@ -266,11 +325,15 @@ class FHE:
         if level:
             gal_keys = self._gal_at(gal_keys, level)
         pre = self._hoisted_pre(gal_keys, elements, level)
+        agh = self._scheme.apply_galois_hoisted
+        j = self._jit(
+            ("rotate_rows_hoisted", elements, level > 0, pre is None),
+            lambda es=elements, kal=level > 0:
+            lambda ctx, c, gk, pk: agh(
+                ctx, c, es, gk, bgv=self.scheme_name == "bgv",
+                keys_at_level=kal, pre_keys=pk))
         with self.monitor.time("rotate_hoisted"):
-            return self._scheme.apply_galois_hoisted(
-                self.ctx, ct, elements, gal_keys,
-                bgv=self.scheme_name == "bgv", keys_at_level=level > 0,
-                pre_keys=pre)
+            return j(self.ctx, ct, gal_keys, pre)
 
     def _hoisted_pre(self, gal_keys: GaloisKeys, elements: tuple, level: int):
         """Cached inverse-eval-permuted key stack per (keys, elements,
@@ -321,10 +384,15 @@ class FHE:
         if level:
             gal_keys = self._gal_at(gal_keys, level)
         pre = self._hoisted_pre(gal_keys, elements, level)
+        j = self._jit(
+            ("rotate_rows_hoisted_batch", elements, level > 0,
+             len(cts), pre is None),
+            lambda es=elements, kal=level > 0:
+            lambda ctx, c, gk, pk: fn(
+                ctx, c, es, gk, bgv=self.scheme_name == "bgv",
+                keys_at_level=kal, pre_keys=pk))
         with self.monitor.time("rotate_hoisted_batch"):
-            return fn(self.ctx, cts, elements, gal_keys,
-                      bgv=self.scheme_name == "bgv",
-                      keys_at_level=level > 0, pre_keys=pre)
+            return j(self.ctx, cts, gal_keys, pre)
 
     def sum_slots_elements(self) -> tuple:
         """Galois elements enabling the FAST sum_slots: the default
@@ -359,19 +427,39 @@ class FHE:
                 group = [j * step for j in (1, 2, 3) if j * step < half]
                 gs = [pow(3, s, m) for s in group]
                 if len(gs) > 1 and all(g in gal_keys.data for g in gs):
-                    for rot in self.rotate_rows_hoisted(ct, group, gal_keys):
-                        ct = self.add(ct, rot)
+                    ct = self._rotate_accumulate(ct, group, gal_keys)
                     step *= len(group) + 1
                 else:
                     ct = self.add(ct, self.rotate_rows(ct, step, gal_keys))
                     step *= 2
             return self.add(ct, self.rotate_columns(ct, gal_keys))
 
+    def _rotate_accumulate(self, ct, steps_list, gal_keys: GaloisKeys):
+        """ct + sum_s rotate_rows(ct, s) through one hoisted accumulating
+        chain (bfv.apply_galois_hoisted_sum) — the sum_slots stage body."""
+        m = 2 * self.params.n
+        elements = tuple(pow(3, int(s), m) for s in steps_list)
+        level = ct.level
+        if level:
+            gal_keys = self._gal_at(gal_keys, level)
+        pre = self._hoisted_pre(gal_keys, elements, level)
+        ags = self._scheme.apply_galois_hoisted_sum
+        j = self._jit(
+            ("rotate_accumulate", elements, level > 0, pre is None),
+            lambda es=elements, kal=level > 0:
+            lambda ctx, c, gk, pk: ags(
+                ctx, c, es, gk, bgv=self.scheme_name == "bgv",
+                keys_at_level=kal, pre_keys=pk))
+        return j(self.ctx, ct, gal_keys, pre)
+
     def rotate_columns(self, ct, gal_keys: GaloisKeys):
         if ct.level:
             gal_keys = self._gal_at(gal_keys, ct.level)
-        return self._scheme.rotate_columns(
-            self.ctx, ct, gal_keys, keys_at_level=ct.level > 0)
+        rc = self._scheme.rotate_columns
+        j = self._jit(("rotate_columns", ct.level > 0),
+                      lambda kal=ct.level > 0:
+                      lambda ctx, c, gk: rc(ctx, c, gk, keys_at_level=kal))
+        return j(self.ctx, ct, gal_keys)
 
     # -- noise management --
     def mod_switch_to_next(self, ct):

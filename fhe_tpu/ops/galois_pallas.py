@@ -141,6 +141,23 @@ def _auto_kernel_c0b(p_ref, x_ref, c0_ref, o_ref, *, hs, n, R, R2, L2):
         o_ref[0, :, b] = _apply_one(x[:, b], h, n, p, R, R2, L2)
 
 
+def _auto_kernel_c0_sum(p_ref, x_ref, c0_ref, base_ref, o_ref,
+                        *, hs, n, R, R2, L2):
+    """Accumulating epilogue: out = base + sum_b phi_{hs[b]}(x_b with c0
+    added to component 0) — the sum_slots stage (acc + rot_s + rot_2s +
+    rot_3s) without materializing B rotated ciphertexts through HBM."""
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    x = x_ref[0]                            # [C, B, R, R2, L2]
+    c0 = c0_ref[0]                          # [1, R, R2, L2]
+    base = base_ref[0]                      # [C, R, R2, L2]
+    x = jnp.concatenate([mm.add_mod(x[:1], c0[:, None], p), x[1:]], axis=0)
+    acc = base
+    for b, h in enumerate(hs):
+        acc = mm.add_mod(acc, _apply_one(x[:, b], h, n, p, R, R2, L2), p)
+    o_ref[0] = acc
+
+
 @functools.partial(jax.jit, static_argnames=("hs", "interpret"))
 def automorphism_fused(x: jax.Array, hs: tuple[int, ...], p: jax.Array,
                        c0: jax.Array | None = None,
@@ -205,6 +222,51 @@ def automorphism_fused(x: jax.Array, hs: tuple[int, ...], p: jax.Array,
         out_shape=jax.ShapeDtypeStruct((k, C, B, R, R2, L2), jnp.uint32),
         interpret=interpret,
     )(p2, xf, c0f).reshape(k, C, B, n)
+
+
+@functools.partial(jax.jit, static_argnames=("hs", "interpret"))
+def automorphism_fused_sum(x: jax.Array, hs: tuple[int, ...], p: jax.Array,
+                           c0: jax.Array, base: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """base + sum_b phi_{hs[b]}((x_b0 + c0, x_b1)) in one VMEM pass.
+
+    x:    [k, C, B, n] key-switch deltas per element
+    c0:   [k, n] added to component 0 of every element pre-permutation
+    base: [k, C, n] accumulated into the output (the un-rotated ct)
+    Returns [k, C, n] — the hoisted rotate-and-accumulate stage
+    (sum_slots) with no per-element HBM materialization."""
+    k, C, B, n = x.shape
+    assert len(hs) == B
+    if B > _MAX_ELEMS:
+        out = automorphism_fused_sum(
+            x[:, :, :_MAX_ELEMS], hs[:_MAX_ELEMS], p, c0, base,
+            interpret=interpret)
+        return automorphism_fused_sum(
+            x[:, :, _MAX_ELEMS:], hs[_MAX_ELEMS:], p, c0, out,
+            interpret=interpret)
+    R, R2, L2 = _plan(n)
+    xf = x.reshape(k, C, B, R, R2, L2)
+    c0f = c0.reshape(k, 1, R, R2, L2)
+    basef = base.reshape(k, C, R, R2, L2)
+    p2 = p.reshape(k, 1).astype(jnp.uint32)
+    blk_in = pl.BlockSpec((1, C, B, R, R2, L2),
+                          lambda i: (i, 0, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    blk_c0 = pl.BlockSpec((1, 1, R, R2, L2), lambda i: (i, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    blk_base = pl.BlockSpec((1, C, R, R2, L2), lambda i: (i, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hs_i = tuple(int(h) for h in hs)
+    return pl.pallas_call(
+        functools.partial(
+            _auto_kernel_c0_sum, hs=hs_i, n=n, R=R, R2=R2, L2=L2),
+        grid=(k,),
+        in_specs=[smem, blk_in, blk_c0, blk_base],
+        out_specs=blk_base,
+        out_shape=jax.ShapeDtypeStruct((k, C, R, R2, L2), jnp.uint32),
+        interpret=interpret,
+    )(p2, xf, c0f, basef).reshape(k, C, n)
 
 
 def automorphism_single(x: jax.Array, g: int, n2: int, p: jax.Array,

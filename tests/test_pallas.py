@@ -28,7 +28,8 @@ def _patch_interpret(monkeypatch, names):
     import functools as ft
 
     from fhe_tpu.ops import galois_pallas as gpal
-    _GAL = ("automorphism_fused", "automorphism_single")
+    _GAL = ("automorphism_fused", "automorphism_single",
+            "automorphism_fused_sum")
     for name in tuple(names) + _RNS_KERNELS + _GAL:
         mod = (dpal if name == "decrypt_fused"
                else rpal if name in _RNS_KERNELS
@@ -450,7 +451,8 @@ def test_hoisted_batched_matches_composed(monkeypatch):
 
     _patch_interpret(monkeypatch, (
         "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
-        "keyswitch_fused", "ks_inner_batch", "decrypt_fused"))
+        "keyswitch_fused", "ks_inner_batch", "ks_inner_grouped",
+        "decrypt_fused"))
     params = make_scheme_params(SecurityParams(
         poly_degree=256, log_q=90, lambda_=0, hamming_weight=8))
     ctx = make_context(params, use_pallas=True, use_mxu=False)
@@ -488,7 +490,8 @@ def test_hoisted_multi_ct_batched(monkeypatch):
 
     _patch_interpret(monkeypatch, (
         "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
-        "keyswitch_fused", "ks_inner_batch", "decrypt_fused"))
+        "keyswitch_fused", "ks_inner_batch", "ks_inner_grouped",
+        "decrypt_fused"))
     params = make_scheme_params(SecurityParams(
         poly_degree=1024, log_q=90, lambda_=0, hamming_weight=8))
     ctx = make_context(params, use_pallas=True, use_mxu=False)
@@ -514,6 +517,48 @@ def test_hoisted_multi_ct_batched(monkeypatch):
             dec = enc.decode(bfv.decrypt(ctx_ref, g, sk))
             assert list(dec[:3]) == [base[c][s], base[c][s + 1],
                                      base[c][s + 2]], (c, s)
+
+
+def test_hoisted_sum_matches_composed(monkeypatch):
+    """apply_galois_hoisted_sum (accumulating epilogue kernel) must equal
+    ct + sum of apply_galois_hoisted outputs on the same pallas context
+    (mod-add of identical terms => bit-exact), and decrypt to the
+    rotate-and-accumulate sum."""
+    import jax.random as jrandom
+    from fhe_tpu.ops import modmath as mm
+    from fhe_tpu.params import SecurityParams, make_scheme_params
+    from fhe_tpu.scheme import bfv
+    from fhe_tpu.scheme.context import make_context
+
+    _patch_interpret(monkeypatch, (
+        "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
+        "keyswitch_fused", "ks_inner_batch", "ks_inner_grouped",
+        "decrypt_fused"))
+    params = make_scheme_params(SecurityParams(
+        poly_degree=1024, log_q=90, lambda_=0, hamming_weight=8))
+    ctx = make_context(params, use_pallas=True, use_mxu=False)
+    ctx_ref = make_context(params, use_pallas=False, use_mxu=False)
+    key = jrandom.PRNGKey(53)
+    pk, sk = bfv.keygen(ctx_ref, jrandom.fold_in(key, 0))
+    steps = (1, 2, 3)
+    elems = tuple(pow(3, s, 2 * params.n) for s in steps)
+    gal = bfv.galoiskey_gen(ctx_ref, jrandom.fold_in(key, 1), sk,
+                            elements=elems)
+    from fhe_tpu.scheme.encoder import BatchEncoder
+    enc = BatchEncoder(params)
+    vals = list(range(1, 9))
+    ct = bfv.encrypt(ctx_ref, jrandom.fold_in(key, 2), pk, enc.encode(vals))
+    got = bfv.apply_galois_hoisted_sum(ctx, ct, elems, gal)
+    parts = bfv.apply_galois_hoisted(ctx, ct, elems, gal)
+    want = ct.data
+    p3 = ctx.ntt_q.p[:, None, None]
+    for o in parts:
+        want = mm.add_mod(want, o.data, p3)
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want))
+    dec = enc.decode(bfv.decrypt(ctx_ref, got, sk))
+    # slot j of the sum = v[j] + v[j+1] + v[j+2] + v[j+3] (row-rotations)
+    assert list(dec[:2]) == [1 + 2 + 3 + 4, 2 + 3 + 4 + 5], dec[:4]
+    assert got.noise_budget > 0
 
 
 @pytest.mark.parametrize("t", [65537, 786433])
@@ -769,6 +814,46 @@ def test_automorphism_fused_matches_permutation():
                                           err_msg=f"c0 n={n} g={g}")
 
 
+def test_automorphism_fused_sum_and_chunking():
+    """automorphism_fused_sum == base + sum_b of the per-element fused
+    outputs (mod p); and automorphism_fused with B > _MAX_ELEMS (the r5
+    VMEM/unroll chunking, ADVICE r4) == the unchunked per-element math."""
+    from fhe_tpu.ops import galois_pallas as gp
+
+    p_np = np.array([1073479681, 1072496641], dtype=np.uint32)
+    n, k, C = 1024, 2, 2
+    m = 2 * n
+    B = gp._MAX_ELEMS + 4          # forces the chunked path
+    gs = tuple(pow(3, s + 1, m) for s in range(B))
+    hs = tuple(pow(g, -1, m) for g in gs)
+    x = jnp.asarray(np.stack([
+        RNG.integers(0, p_np[i], (C, B, n), dtype=np.uint32)
+        for i in range(k)]))
+    c0 = jnp.asarray(np.stack([
+        RNG.integers(0, p_np[i], n, dtype=np.uint32) for i in range(k)]))
+    base = jnp.asarray(np.stack([
+        RNG.integers(0, p_np[i], (C, n), dtype=np.uint32)
+        for i in range(k)]))
+    p = jnp.asarray(p_np)
+
+    # chunked per-element kernel == per-element reference (chunk boundary
+    # crossing exercises the split + concatenate)
+    got_elems = np.asarray(gp.automorphism_fused(
+        x, hs, p, c0=c0, interpret=True)).astype(np.uint64)
+    for b0 in range(0, B, 5):      # spot-check a few elements
+        one = np.asarray(gp.automorphism_fused(
+            x[:, :, b0:b0 + 1], hs[b0:b0 + 1], p, c0=c0,
+            interpret=True))[:, :, 0]
+        np.testing.assert_array_equal(got_elems[:, :, b0], one)
+
+    got_sum = np.asarray(gp.automorphism_fused_sum(
+        x, hs, p, c0, base, interpret=True))
+    want = np.asarray(base).astype(np.uint64)
+    for b in range(B):
+        want = (want + got_elems[:, :, b]) % p_np[:, None, None]
+    np.testing.assert_array_equal(got_sum, want.astype(np.uint32))
+
+
 def test_automorphism_single_matches_coeff_path():
     """automorphism_single == the XLA folded/gather _apply_galois_coeff."""
     from fhe_tpu.ops import galois_pallas as gp
@@ -800,6 +885,7 @@ def test_hoisted_fused_epilogue_matches_composed(monkeypatch):
     _patch_interpret(monkeypatch, (
         "ntt_forward", "ntt_inverse", "mul_by_ntt_operand",
         "keyswitch_fused", "keyswitch_fused_batch", "ks_inner_batch",
+        "ks_inner_grouped",
         "decrypt_fused"))
     # keep THIS test's executables out of the persistent cache: the hoisted
     # path bakes the Galois key stacks in as jaxpr constants and
