@@ -251,6 +251,8 @@ class Bench:
             "multiply_relin_ms_level1": _rnd(ms("mul_l1")),
             "multiply_relin_ms_n16384": _rnd(ms("mul_n16384")),
             "multiply_relin_ms_k8": _rnd(ms("mul_k8")),
+            "multiply_relin_ms_k8_omega2": _rnd(ms("mul_k8_w2")),
+            "rotate_rows_ms_k8_omega2": _rnd(ms("rot_k8_w2")),
             "multiply_relin_ms_mxu_engine": _rnd(ms("mul_mxu")),
             "relin_share_k8": (
                 _rnd(max(0.0, 1.0 - res["tens_k8"][0] / res["mul_k8"][0]), 3)
@@ -372,7 +374,8 @@ class Bench:
 
     HEADLINE_KEYS = (
         "multiply_relin_ms", "multiply_relin_ms_batched",
-        "multiply_relin_ms_k8", "multiply_relin_ms_n16384",
+        "multiply_relin_ms_k8", "multiply_relin_ms_k8_omega2",
+        "rotate_rows_ms_k8_omega2", "multiply_relin_ms_n16384",
         "forward_ntt_ms", "forward_ntt_ms_batched",
         "encrypt_ms", "decrypt_ms", "decrypt_ms_batched",
         "rotate_rows_ms", "rotate_hoisted_ms_per_rot",
@@ -716,6 +719,37 @@ def main():
                 jnp.stack([c8a.data] * 4), hi=13, lo=1, div=32.0))
         return chains
 
+    def g_k8_omega():
+        """Grouped-gadget key switch (SecurityParams.ks_omega=2): half the
+        digit NTTs and key inner products per key switch — the k=8
+        relinearization lever (~27 extra bits of key-switch noise, well
+        inside the 218-bit budget)."""
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            params8w = make_scheme_params(SecurityParams(
+                poly_degree=n, log_q=218, hamming_weight=64, ks_omega=2))
+        fhe8w = FHE(params8w, seed=2)
+        pk8, sk8 = fhe8w.keygen()
+        rlk8 = fhe8w.relinkey_gen(sk8)
+        c8a = fhe8w.encrypt(fhe8w.encode([5, 10]), pk8)
+        c8b = fhe8w.encrypt(fhe8w.encode([3, 6]), pk8)
+        got8 = fhe8w.decode(fhe8w.decrypt(fhe8w.multiply(c8a, c8b, rlk8),
+                                          sk8))
+        assert list(got8[:2]) == [15, 60], got8[:2]
+        gk8 = fhe8w.galoiskey_gen(
+            sk8, elements=(pow(3, 1, 2 * n),))
+        got_r = fhe8w.decode(fhe8w.decrypt(
+            fhe8w.rotate_rows(c8a, 1, gk8), sk8))
+        assert list(got_r[:1]) == [10], got_r[:2]
+        return [
+            Chain("mul_k8_w2", lambda a: bfv.multiply(
+                fhe8w.ctx, c8a.replace(data=a), c8b, rlk8).data,
+                c8a.data, hi=85, lo=5),
+            Chain("rot_k8_w2", lambda a: bfv.apply_galois(
+                fhe8w.ctx, c8a.replace(data=a), pow(3, 1, 2 * n),
+                gk8).data, c8a.data, hi=85, lo=5),
+        ]
+
     def g_n16384():
         fhe16 = FHE(make_scheme_params(SecurityParams(
             poly_degree=16384, log_q=90, hamming_weight=64)), seed=4)
@@ -879,6 +913,7 @@ def main():
         ("rotations", g_rotations),
         ("residency", g_residency),
         ("k8", g_k8),
+        ("k8_omega", g_k8_omega),
         ("n16384", g_n16384),
         ("enc_dec", g_enc_dec),
         ("bgv", g_bgv),

@@ -701,8 +701,11 @@ def mul_by_ntt_operand_batch(u: jax.Array, w_ntt: jax.Array,
 
 def _keyswitch_kernel_folded(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
                              fwsh_ref, iw_ref, iwsh_ref, d_ref, keys_ref,
-                             o_ref):
-    """Folded-layout keyswitch_fused: d [kd, 8, L], keys [1, kd, 2, 8, L]."""
+                             o_ref, *, prereduced=False):
+    """Folded-layout keyswitch_fused: d [kd, 8, L], keys [1, kd, 2, 8, L].
+    prereduced=True: d is [1, kd, 8, L] per-prime residues (grouped gadget
+    digits span several primes, so one u32 row cannot represent them —
+    scheme/bfv._grouped_digit_residues precomputes the residue tensor)."""
     L = d_ref.shape[-1]
     n = 8 * L
     i = pl.program_id(0)
@@ -710,7 +713,8 @@ def _keyswitch_kernel_folded(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
     mu = mu_ref[i, 0]
     wf = lambda s: (fw_ref[0, s][None], fwsh_ref[0, s][None])
     wi = lambda s: (iw_ref[0, s][None], iwsh_ref[0, s][None])
-    dr = mm.barrett_reduce_u32(d_ref[...], p, mu)            # [kd, 8, L]
+    dr = (d_ref[0] if prereduced
+          else mm.barrett_reduce_u32(d_ref[...], p, mu))     # [kd, 8, L]
     f = _fwd_sweep_folded_lazy(dr, wf, p, n)
     k0 = keys_ref[0, :, 0]                                   # [kd, 8, L]
     k1 = keys_ref[0, :, 1]
@@ -722,14 +726,16 @@ def _keyswitch_kernel_folded(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
 
 
 def _keyswitch_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
-                      iw_ref, iwsh_ref, d_ref, keys_ref, o_ref, *, lazy=False):
+                      iw_ref, iwsh_ref, d_ref, keys_ref, o_ref, *,
+                      lazy=False, prereduced=False):
     n = d_ref.shape[-1]
     i = pl.program_id(0)
     p = p_ref[i, 0]
     mu = mu_ref[i, 0]
     fwd = _fwd_sweep_lazy if lazy else _fwd_sweep
     inv = _inv_sweep_lazy if lazy else _inv_sweep
-    dr = mm.barrett_reduce_u32(d_ref[...], p, mu)          # [kd, n] mod p_i
+    dr = (d_ref[0] if prereduced
+          else mm.barrett_reduce_u32(d_ref[...], p, mu))   # [kd, n] mod p_i
     f = fwd(dr, _wget_single(fw_ref[0], fwsh_ref[0]), p, n)  # [kd, n]
     k0 = keys_ref[0, :, 0, :]                              # [kd, n]
     k1 = keys_ref[0, :, 1, :]
@@ -740,9 +746,11 @@ def _keyswitch_kernel(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref, fwsh_ref,
                      ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "lazy"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "lazy", "prereduced"))
 def keyswitch_fused(d: jax.Array, keys_t: jax.Array, pt: PallasNTTTables,
-                    interpret: bool = False, lazy: bool = True) -> jax.Array:
+                    interpret: bool = False, lazy: bool = True,
+                    prereduced: bool = False) -> jax.Array:
     """Key-switch inner product, entirely inside ONE kernel per prime.
 
     d:      [kd, n]        gadget digits, digit j reduced mod its own q_j
@@ -760,7 +768,8 @@ def keyswitch_fused(d: jax.Array, keys_t: jax.Array, pt: PallasNTTTables,
     rows instead of kd — see _use_folded).
     Bit-exact with the composed bfv path (tests/test_pallas.py)."""
     k, kd, two, n = keys_t.shape
-    assert two == 2 and d.shape == (kd, n)
+    assert two == 2
+    assert d.shape == ((k, kd, n) if prereduced else (kd, n))
     s = pt.fwd_w.shape[1]
     grid = (k,)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -768,14 +777,21 @@ def keyswitch_fused(d: jax.Array, keys_t: jax.Array, pt: PallasNTTTables,
         L = n // 8
         tablef = pl.BlockSpec((1, s, 8, L), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
-        d_in = pl.BlockSpec((kd, 8, L), lambda i: (0, 0, 0),
-                            memory_space=pltpu.VMEM)
+        if prereduced:
+            d_in = pl.BlockSpec((1, kd, 8, L), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+            d_f = d.reshape(k, kd, 8, L)
+        else:
+            d_in = pl.BlockSpec((kd, 8, L), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+            d_f = d.reshape(kd, 8, L)
         d_keys = pl.BlockSpec((1, kd, 2, 8, L), lambda i: (i, 0, 0, 0, 0),
                               memory_space=pltpu.VMEM)
         dout = pl.BlockSpec((1, 2, 8, L), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            _keyswitch_kernel_folded,
+            functools.partial(_keyswitch_kernel_folded,
+                              prereduced=prereduced),
             grid=grid,
             in_specs=[smem, smem, smem, smem, tablef, tablef, tablef,
                       tablef, d_in, d_keys],
@@ -785,17 +801,23 @@ def keyswitch_fused(d: jax.Array, keys_t: jax.Array, pt: PallasNTTTables,
         )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup,
           pt.fwd_w.reshape(k, s, 8, L), pt.fwd_w_sh.reshape(k, s, 8, L),
           pt.inv_w.reshape(k, s, 8, L), pt.inv_w_sh.reshape(k, s, 8, L),
-          d.reshape(kd, 8, L), keys_t.reshape(k, kd, 2, 8, L))
+          d_f, keys_t.reshape(k, kd, 2, 8, L))
         return out.reshape(k, 2, n)
     table = pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    d_in = pl.BlockSpec((kd, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if prereduced:
+        d_in = pl.BlockSpec((1, kd, n), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        d_in = pl.BlockSpec((kd, n), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     d_keys = pl.BlockSpec((1, kd, 2, n), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     dout = pl.BlockSpec((1, 2, n), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_keyswitch_kernel, lazy=lazy),
+        functools.partial(_keyswitch_kernel, lazy=lazy,
+                          prereduced=prereduced),
         grid=grid,
         in_specs=[smem, smem, smem, smem, table, table, table, table,
                   d_in, d_keys],

@@ -259,6 +259,12 @@ def multiply_relin_shardmap(ctx, a: Ciphertext, b: Ciphertext,
     (tests/test_shard_scheme.py)."""
     if a.level != b.level:
         raise ValueError("operands must share a level")
+    from ..scheme.bfv import _omega as _ks_omega
+    if _ks_omega(ctx) > 1:
+        raise ValueError(
+            "the explicit shard_map multiply builds per-prime gadget "
+            "digits; grouped-gadget keys (ks_omega > 1) are not supported "
+            "here — use ks_omega=1 parameters for the distributed path")
     level = a.level
     from ..scheme import bfv as _bfv
     a = _bfv.to_coeff(ctx, a)

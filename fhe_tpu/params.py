@@ -44,6 +44,15 @@ class SecurityParams:
     # 65537 <= t < 2^29 (the device decryption path centers 16-bit correction
     # terms against t, and every residue lane assumes t < q_i).
     plain_modulus: int = 65537
+    # Key-switch gadget rank: omega primes per gadget digit (SEAL's
+    # decomposition-base idea on the RNS basis).  omega=1 is the classic
+    # per-prime gadget; omega=2 halves the digit count — half the digit
+    # NTTs and key inner products per key switch (the k=8 relinearization
+    # lever) — at the cost of ~PRIME_BITS*(omega-1) extra bits of
+    # key-switch noise per operation.  Leveled key material derived by
+    # switch_relin_keys/switch_galois_keys requires (k - level) % omega == 0
+    # (whole gadget groups must survive a drop).
+    ks_omega: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -118,6 +118,39 @@ def _b_of(ctx: SchemeContext, level: int, log2_var):
     return jnp.maximum(0.0, _noise.bfv_budget(ctx.params, level, log2_var))
 
 
+def _omega(ctx: SchemeContext) -> int:
+    """Key-switch gadget rank (primes per gadget digit); 1 = classic."""
+    return getattr(ctx.params.security, "ks_omega", 1)
+
+
+def _grouped_digit_residues(ctx: SchemeContext, y: jax.Array,
+                            level: int) -> jax.Array:
+    """Grouped-gadget digits from standard per-prime digits (ks_omega > 1).
+
+    y: [kq, *B, n] with y[j] = [c * (q/q_j)^-1]_{q_j} (u32 < q_j).
+    Returns [kq, kd, *B, n]: the grouped digit D_g's residue mod EVERY
+    dst prime, D_g + alpha*q_Jg = sum_j y_j * (q_Jg/q_j) (exact-gadget
+    overflow; context.ks_group_conv_tables)."""
+    kq = y.shape[0]
+    primes_l = ctx.params.q_primes[:kq]
+    omega = _omega(ctx)
+    cw = jnp.asarray(_context.ks_group_conv_tables(tuple(primes_l), omega))
+    kd = cw.shape[1]
+    pad = kd * omega - kq
+    if pad:
+        y = jnp.concatenate(
+            [y, jnp.zeros((pad, *y.shape[1:]), y.dtype)], axis=0)
+    yg = y.reshape(kd, omega, *y.shape[1:])             # [kd, w, *B, n]
+    tb = _tb(ctx, level)
+    extra = (1,) * (y.ndim - 1)                         # *B dims + n
+    prod = mm.mul_mod_barrett(
+        yg[None], cw.reshape(kq, kd, omega, *extra),
+        tb.p.reshape(kq, 1, 1, *extra),
+        tb.mu.reshape(kq, 1, 1, *extra))                # [kq, kd, w, *B, n]
+    return mm.add_mod_tree(
+        prod, tb.p.reshape(kq, 1, 1, *extra), axis=2)[:, :, 0]
+
+
 def to_ntt(ctx: SchemeContext, ct: Ciphertext) -> Ciphertext:
     if ct.is_ntt_form:
         return ct
@@ -186,15 +219,21 @@ def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
     tb = ctx.ntt_q
     k = ctx.k
     n = p.n
-    # W_j = (q/q_j) mod q_i table, exact on host
+    # W_d = (q/q_{J_d}) mod q_i table, exact on host.  J_d is the d-th
+    # gadget group of ks_omega primes (omega=1: the classic per-prime
+    # gadget, J_d = {q_d}); see context.ks_group_conv_tables for the
+    # grouped-digit math.
     q = p.q
-    w = np.zeros((k, k), dtype=np.uint32)
-    for j, pj in enumerate(p.q_primes):
+    omega = _omega(ctx)
+    kd = -(-k // omega)
+    w = np.zeros((kd, k), dtype=np.uint32)
+    for d in range(kd):
+        qJ = math.prod(p.q_primes[d * omega: min((d + 1) * omega, k)])
         for i, pi in enumerate(p.q_primes):
-            w[j, i] = (q // pj) % pi
+            w[d, i] = (q // qJ) % pi
     w = jnp.asarray(w)
     keys = []
-    for j in range(k):
+    for j in range(kd):
         key, k_a, k_e = jax.random.split(key, 3)
         a = sampling.uniform_rns(k_a, tb.p, tb.mu, 1, n)
         e = sampling.gaussian_rns(k_e, tb.p, p.security.sigma, 1, n)
@@ -210,7 +249,7 @@ def _keyswitch_keygen(ctx: SchemeContext, key: jax.Array, sk: SecretKey,
             _p3(tb),
         )
         keys.append(jnp.concatenate([b_ntt, a_ntt], axis=1))
-    return jnp.stack(keys)  # [k, k, 2, n]
+    return jnp.stack(keys)  # [kd, k, 2, n]
 
 
 def relinkey_gen(ctx: SchemeContext, key: jax.Array, sk: SecretKey) -> RelinKeys:
@@ -602,17 +641,26 @@ def _switch_keys_down(ctx: SchemeContext, ks_keys: jax.Array, level: int,
         return ks_keys
     k = ctx.k
     kl = k - level
-    # ks_keys is [digit j, prime i, 2, n]; keep the surviving digits j < k-L
-    # and put the prime axis first for the RNS switch: [k_primes, kl*2, n]
-    flat = jnp.transpose(ks_keys[:kl], (1, 0, 2, 3)).reshape(k, kl * 2, ctx.n)
+    omega = _omega(ctx)
+    if omega > 1 and kl % omega:
+        raise ValueError(
+            f"ks_omega={omega} keys cannot be switched to level {level} "
+            f"({kl} surviving primes is not a whole number of gadget "
+            f"groups); use an aligned level or omega=1 keys")
+    kd_l = kl // omega if omega > 1 else kl
+    # ks_keys is [digit d, prime i, 2, n]; keep the surviving digit groups
+    # (their gadget coefficient divides exactly: (q/q_Jd)/dropped = q_L/q_Jd)
+    # and put the prime axis first for the RNS switch: [k_primes, kd_l*2, n]
+    flat = jnp.transpose(ks_keys[:kd_l], (1, 0, 2, 3)).reshape(
+        k, kd_l * 2, ctx.n)
     coeff = _inv_q(ctx, flat)
     for lvl in range(level):
         mc = ctx.bgv_mod_switch[lvl] if bgv else ctx.mod_switch[lvl]
         coeff = (_rns.bgv_mod_switch_drop_last(coeff, mc) if bgv
                  else _rns.mod_switch_drop_last(coeff, mc))
-    switched = _fwd_q(ctx, coeff, level)               # [k-L, kl*2, n]
+    switched = _fwd_q(ctx, coeff, level)               # [k-L, kd_l*2, n]
     return jnp.transpose(
-        switched.reshape(kl, kl, 2, ctx.n), (1, 0, 2, 3))
+        switched.reshape(kl, kd_l, 2, ctx.n), (1, 0, 2, 3))
 
 
 def switch_relin_keys(ctx: SchemeContext, rlk: RelinKeys, level: int,
@@ -651,16 +699,21 @@ def relinearize(ctx: SchemeContext, ct: Ciphertext, rlk: RelinKeys,
 def _digits_ntt(ctx: SchemeContext, poly: jax.Array, level: int) -> jax.Array:
     """RNS-gadget decomposition of a component, NTT'd: [k-L, n] coeff ->
     [k_primes, k_digits, n] NTT form.  This is the expensive half of a key
-    switch; hoisted rotations share ONE of these across many automorphisms."""
+    switch; hoisted rotations share ONE of these across many automorphisms.
+    ks_omega > 1 groups omega primes per digit (k_digits = ceil(kq/omega)),
+    halving the digit transforms and key inner products at omega = 2."""
     tb = _tb(ctx, level)
     inv_qhat, inv_qhat_sh = ctx.inv_qhat_levels[level]
     # digits: D_j = [poly_j * (q_L/q_j)^-1]_{q_j}  -> [k-L, n]
     d = mm.mul_mod_shoup(
         poly, inv_qhat[:, None], inv_qhat_sh[:, None], tb.p[:, None])
-    # broadcast digit j to every prime i (reduce D_j mod q_i), NTT once:
-    # [k_primes, k_digits, n]
-    d_all = mm.barrett_reduce_u32(
-        d[None, :, :], tb.p[:, None, None], tb.mu[:, None, None])
+    if _omega(ctx) > 1:
+        d_all = _grouped_digit_residues(ctx, d, level)  # [kq, kd, n]
+    else:
+        # broadcast digit j to every prime i (reduce D_j mod q_i):
+        # [k_primes, k_digits, n]
+        d_all = mm.barrett_reduce_u32(
+            d[None, :, :], tb.p[:, None, None], tb.mu[:, None, None])
     return _fwd_q(ctx, d_all, level)  # digits as batch axis
 
 
@@ -714,8 +767,15 @@ def _keyswitch_delta(ctx: SchemeContext, poly: jax.Array, ks_keys: jax.Array,
         d = mm.mul_mod_shoup(
             poly, inv_qhat[:, None], inv_qhat_sh[:, None], tb.p[:, None])
         keys_t = jnp.transpose(ks_keys, (1, 0, 2, 3))  # [k_primes, kd, 2, n]
-        return _ntt_pl.keyswitch_fused(
-            d, keys_t, _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))
+        tables = _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level)
+        if _omega(ctx) > 1:
+            # grouped digits are multi-prime-sized: their residues differ
+            # per dst prime, so the kernel gets the precomputed [kq, kd, n]
+            # residue tensor instead of re-reducing one u32 row
+            d_all = _grouped_digit_residues(ctx, d, level)
+            return _ntt_pl.keyswitch_fused(d_all, keys_t, tables,
+                                           prereduced=True)
+        return _ntt_pl.keyswitch_fused(d, keys_t, tables)
     acc0, acc1 = _keyswitch_inner(ctx, poly, ks_keys, level)
     return _inv_q(ctx, jnp.concatenate([acc0, acc1], axis=1), level)
 
@@ -744,7 +804,9 @@ def multiply_batch(ctx: SchemeContext, cts_a: list, cts_b: list,
     level = cts_a[0].level
     if any(ct.level != level for ct in cts_a + cts_b):
         raise ValueError("multiply_batch: all ciphertexts at one level")
-    if not ctx.use_pallas or ctx.use_mxu:
+    if not ctx.use_pallas or ctx.use_mxu or _omega(ctx) > 1:
+        # omega > 1: the batched relin below builds per-prime digit rows;
+        # grouped digits compose per-ct for now (single-ct fused path)
         return [multiply(ctx, a, b, rlk, keys_at_level)
                 for a, b in zip(cts_a, cts_b)]
     a_st = jnp.stack([to_coeff(ctx, a).data for a in cts_a])  # [B, k, 2, n]
@@ -944,7 +1006,7 @@ def apply_galois_batch(ctx: SchemeContext, cts: list, g: int,
     apply_galois (one key down-switch, one permutation table, B
     sublane-packed key switches).  Element i == apply_galois(cts[i], g)."""
     level = cts[0].level
-    if (not ctx.use_pallas or len(cts) == 1
+    if (not ctx.use_pallas or len(cts) == 1 or _omega(ctx) > 1
             or any(ct.level != level for ct in cts)):
         return [apply_galois(ctx, ct, g, gal_keys, False, keys_at_level)
                 for ct in cts]
@@ -1217,10 +1279,14 @@ def apply_galois_hoisted_batch(ctx: SchemeContext, cts: list, elements,
     c1 = jnp.stack([ct.data[:, 1] for ct in cts], axis=1)
     d = mm.mul_mod_shoup(c1, inv_qhat[:, None, None],
                          inv_qhat_sh[:, None, None], tb.p[:, None, None])
-    d_all = mm.barrett_reduce_u32(
-        d[None], tb.p[:, None, None, None], tb.mu[:, None, None, None])
-    d_ntt = _fwd_q(ctx, d_all.reshape(kq, kq * C, n), level)
-    d_ntt = d_ntt.reshape(kq, kq, C, n)
+    if _omega(ctx) > 1:
+        d_all = _grouped_digit_residues(ctx, d, level)  # [kq, kd, C, n]
+    else:
+        d_all = mm.barrett_reduce_u32(
+            d[None], tb.p[:, None, None, None], tb.mu[:, None, None, None])
+    kd = d_all.shape[1]
+    d_ntt = _fwd_q(ctx, d_all.reshape(kq, kd * C, n), level)
+    d_ntt = d_ntt.reshape(kq, kd, C, n)
     # flatten (ct, element) to one batch axis b = c*E + e; the grouped
     # kernel pairs digit stack c with key set e via BlockSpec index maps —
     # no repeated digits or tiled keys ever touch HBM (the r4 repeat/tile

@@ -200,6 +200,41 @@ def galois_fold_tables(n: int, g: int):
             jnp.asarray(rho2), jnp.asarray(neg_ref.reshape(R, R2, L2)))
 
 
+@functools.lru_cache(maxsize=None)
+def ks_group_conv_tables(primes: tuple[int, ...], omega: int):
+    """Grouped-gadget base-extension weights (SEAL-style decomposition
+    groups on the RNS basis; params.SecurityParams.ks_omega).
+
+    Digit group g covers primes J_g = primes[g*omega : (g+1)*omega] with
+    modulus q_Jg = prod(J_g).  The grouped digit D_g = [c * (q/q_Jg)^-1]_{q_Jg}
+    is recovered from the STANDARD per-prime digits y_j = [c * (q/q_j)^-1]_{q_j}
+    via CRT interpolation:
+
+        sum_{j in J_g} y_j * (q_Jg / q_j)  =  D_g + alpha * q_Jg,  alpha < omega
+
+    (identity: y_j = [D_g * (q_Jg/q_j)^-1]_{q_j} because
+    (q/q_Jg)*(q_Jg/q_j) = q/q_j).  The alpha overflow is absorbed exactly by
+    the gadget — q_Jg * (q/q_Jg) = q = 0 mod q — and only scales the key
+    error by < omega * q_Jg (scheme/noise.keyswitch_add).
+
+    Returns cw: [k, kd, omega] uint32 with cw[i, g, j] = (q_Jg / q_{J_g[j]})
+    mod primes[i], zero-padded where the last group is short; D_g mod p_i =
+    sum_j y[g*omega + j] * cw[i, g, j] mod p_i (zero pads contribute 0)."""
+    import math as _math
+
+    k = len(primes)
+    kd = -(-k // omega)
+    cw = np.zeros((k, kd, omega), dtype=_U)
+    for g in range(kd):
+        J = primes[g * omega: min((g + 1) * omega, k)]
+        qJ = _math.prod(J)
+        for jl, pj in enumerate(J):
+            w = qJ // pj
+            for i, pi in enumerate(primes):
+                cw[i, g, jl] = w % pi
+    return cw
+
+
 def default_galois_elements(n: int) -> tuple[int, ...]:
     """Galois elements for power-of-two row rotations (both directions) plus
     the column swap g = 2n-1, mirroring SEAL-style key generation."""

@@ -143,16 +143,24 @@ def bgv_multiply(params: SchemeParams, lv1, lv2):
 
 
 def keyswitch_add(params: SchemeParams, level: int) -> float:
-    """RNS-digit key switching adds sum_j d_j (x) e_j over the k_L digits.
+    """RNS-digit key switching adds sum_d D_d (x) e_d over the gadget digits.
 
     The digits produced by bfv._keyswitch_inner are UNCENTERED residues in
-    [0, q_j), so E[d^2] = q_j^2/3 (not the centered q^2/12):
-    V_add = sum_j n * (q_j^2 / 3) * sigma^2, as log2.  Identical for BFV
-    and BGV keys (BGV's t*e error divides back out in e units)."""
+    [0, q_Jd), so E[d^2] = q_Jd^2/3 (not the centered q^2/12):
+    V_add = sum_d n * ((omega * q_Jd)^2 / 3) * sigma^2, as log2, where
+    q_Jd is the digit-group modulus (ks_omega primes; omega=1 gives the
+    classic per-prime sum) and the omega factor bounds the grouped digits'
+    base-conversion overflow D + alpha*q_Jd, alpha < omega
+    (context.ks_group_conv_tables).  Identical for BFV and BGV keys
+    (BGV's t*e error divides back out in e units)."""
     sig2 = params.security.sigma ** 2
     n = params.n
-    v = sum(n * (float(qj) ** 2 / 3.0) * sig2
-            for qj in params.q_primes[: params.k - level])
+    omega = getattr(params.security, "ks_omega", 1)
+    primes_l = params.q_primes[: params.k - level]
+    v = 0.0
+    for g in range(0, len(primes_l), omega):
+        qj = float(math.prod(primes_l[g: g + omega]))
+        v += n * ((omega * qj) ** 2 / 3.0) * sig2
     return math.log2(v)
 
 
