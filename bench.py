@@ -250,6 +250,7 @@ class Bench:
             "multiply_relin_ms_batched": _rnd(ms("mul_b8")),
             "multiply_relin_ms_level1": _rnd(ms("mul_l1")),
             "multiply_relin_ms_n16384": _rnd(ms("mul_n16384")),
+            "multiply_relin_ms_n16384_omega2": _rnd(ms("mul_n16384_w2")),
             "multiply_relin_ms_k8": _rnd(ms("mul_k8")),
             "multiply_relin_ms_k8_omega2": _rnd(ms("mul_k8_w2")),
             "rotate_rows_ms_k8_omega2": _rnd(ms("rot_k8_w2")),
@@ -376,6 +377,7 @@ class Bench:
         "multiply_relin_ms", "multiply_relin_ms_batched",
         "multiply_relin_ms_k8", "multiply_relin_ms_k8_omega2",
         "rotate_rows_ms_k8_omega2", "multiply_relin_ms_n16384",
+        "multiply_relin_ms_n16384_omega2",
         "forward_ntt_ms", "forward_ntt_ms_batched",
         "encrypt_ms", "decrypt_ms", "decrypt_ms_batched",
         "rotate_rows_ms", "rotate_hoisted_ms_per_rot",
@@ -723,7 +725,11 @@ def main():
         """Grouped-gadget key switch (SecurityParams.ks_omega=2): half the
         digit NTTs and key inner products per key switch — the k=8
         relinearization lever (~27 extra bits of key-switch noise, well
-        inside the 218-bit budget)."""
+        inside the 218-bit budget).  MUST be sampled in the same
+        round-robin as g_k8's omega=1 chains: run7 vs run6 showed ~35%
+        run-to-run drift on identical k8 chains (post-hang tunnel jitter),
+        so cross-run A/B is meaningless — the runner merges this group
+        with g_k8 below."""
         with _warnings.catch_warnings():
             _warnings.simplefilter("ignore")
             params8w = make_scheme_params(SecurityParams(
@@ -775,6 +781,22 @@ def main():
         assert (np.asarray(fwd16(x16)) == np.asarray(want16)).all(), \
             "n=16384 Pallas NTT mismatch vs jnp engine"
         chains.append(Chain("ntt_n16384", fwd16, x16, hi=1505, lo=55))
+
+        # grouped-gadget variant (ks_omega=2 at k=3: kd=2) — the VERDICT r4
+        # "#8 n16384 < 100us" probe: relin's digit NTTs drop 9 -> 6 rows
+        fhe16w = FHE(make_scheme_params(SecurityParams(
+            poly_degree=16384, log_q=90, hamming_weight=64, ks_omega=2)),
+            seed=4)
+        pkw, skw = fhe16w.keygen()
+        rlkw = fhe16w.relinkey_gen(skw)
+        aw = fhe16w.encrypt(fhe16w.encode([5, 10]), pkw)
+        bw = fhe16w.encrypt(fhe16w.encode([3, 6]), pkw)
+        gotw = fhe16w.decode(fhe16w.decrypt(fhe16w.multiply(aw, bw, rlkw),
+                                            skw))
+        assert list(gotw[:2]) == [15, 60], gotw[:2]
+        chains.append(Chain("mul_n16384_w2", lambda a: bfv.multiply(
+            fhe16w.ctx, aw.replace(data=a), bw, rlkw).data,
+            aw.data, hi=85, lo=5))
         return chains
 
     def g_bgv():
@@ -905,6 +927,11 @@ def main():
         return [Chain("ntt_n32768", lambda x: _npal.ntt_forward(x, pl32),
                       x32, hi=755, lo=55)]
 
+    def g_k8_all():
+        """k8 omega=1 and omega=2 chains in ONE round-robin (interleaved
+        A/B — see g_k8_omega's docstring)."""
+        return g_k8() + g_k8_omega()
+
     groups = [
         ("headline", g_headline),       # prints the first valid line
         ("roofline", g_roofline),       # the methodology-of-record number
@@ -912,8 +939,7 @@ def main():
         ("ntt", g_ntt),
         ("rotations", g_rotations),
         ("residency", g_residency),
-        ("k8", g_k8),
-        ("k8_omega", g_k8_omega),
+        ("k8", g_k8_all),
         ("n16384", g_n16384),
         ("enc_dec", g_enc_dec),
         ("bgv", g_bgv),
@@ -921,6 +947,10 @@ def main():
         ("mxu", g_mxu),
         ("n32768", g_n32768),
     ]
+    only = os.environ.get("FHE_BENCH_GROUPS")
+    if only:
+        keep = {"headline"} | set(only.split(","))
+        groups = [(nm, fn) for nm, fn in groups if nm in keep]
     done = []
     bench.aux["groups_done"] = done
     for name, builder in groups:

@@ -1059,6 +1059,43 @@ def _ks_inner_kernel_batch(p_ref, mu_ref, ninv_ref, ninvsh_ref,
     o_ref[...] = o.reshape(1, 2, bt, n)
 
 
+def _ks_inner_kernel_grouped(p_ref, mu_ref, ninv_ref, ninvsh_ref,
+                             iw_ref, iwsh_ref, dg_ref, keys_ref, o_ref,
+                             *, lazy=False):
+    """One (prime, ciphertext) grid step: the ct's shared digit stack
+    against all E per-element key sets.  dg_ref [1, 1, kd, n],
+    keys_ref [1, kd, E, 2, n], o_ref [1, 2, E, n] — the digit rows
+    broadcast across the E elements exactly like _ks_inner_kernel_batch's
+    shared-digit path."""
+    one, kd, bt, two, n = keys_ref.shape
+    i = pl.program_id(0)
+    p = p_ref[i, 0]
+    mu = mu_ref[i, 0]
+    inv = _inv_sweep_lazy if lazy else _inv_sweep
+    f = jnp.broadcast_to(
+        dg_ref[0, 0][:, None, :], (kd, bt, n)).reshape(kd * bt, n)
+    k0 = keys_ref[0, :, :, 0, :].reshape(kd * bt, n)
+    k1 = keys_ref[0, :, :, 1, :].reshape(kd * bt, n)
+    f0 = mm.mul_mod_barrett(f, k0, p, mu)
+    f1 = mm.mul_mod_barrett(f, k1, p, mu)
+    g = kd
+    while g > 1:
+        h = g // 2
+        f0 = mm.add_mod(f0[:h * bt], f0[h * bt:2 * h * bt], p) if g == 2 * h \
+            else jnp.concatenate(
+                [mm.add_mod(f0[:h * bt], f0[h * bt:2 * h * bt], p),
+                 f0[2 * h * bt:]], axis=0)
+        f1 = mm.add_mod(f1[:h * bt], f1[h * bt:2 * h * bt], p) if g == 2 * h \
+            else jnp.concatenate(
+                [mm.add_mod(f1[:h * bt], f1[h * bt:2 * h * bt], p),
+                 f1[2 * h * bt:]], axis=0)
+        g = g - h
+    acc = jnp.concatenate([f0, f1], axis=0)            # [2bt, n]
+    o = inv(acc, _wget_single(iw_ref[0], iwsh_ref[0]),
+            ninv_ref[i, 0], ninvsh_ref[i, 0], p, n)
+    o_ref[...] = o.reshape(1, 2, bt, n)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "lazy"))
 def ks_inner_grouped(dg: jax.Array, keys: jax.Array, pt: PallasNTTTables,
                      interpret: bool = False, lazy: bool = True) -> jax.Array:
@@ -1080,12 +1117,24 @@ def ks_inner_grouped(dg: jax.Array, keys: jax.Array, pt: PallasNTTTables,
     k, kd, C, n = dg.shape
     E = keys.shape[2]
     assert keys.shape == (k, kd, E, 2, n)
+    if E % 8 and C > 1:
+        # Mosaic block rule: the [1, 2, E, n] output block's sublane dim E
+        # must be 8-aligned (it is a strict slice of the C*E batch axis).
+        # Rare path (serving uses E = 8): materialize and use the batch
+        # kernel instead.
+        dg_full = jnp.repeat(dg, E, axis=2)
+        keys_full = jnp.tile(keys, (1, 1, C, 1, 1))
+        return ks_inner_batch(dg_full, keys_full, pt,
+                              interpret=interpret, lazy=lazy)
     s = pt.inv_w.shape[1]
     grid = (k, C)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     table = pl.BlockSpec((1, s, n), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    d_dg = pl.BlockSpec((1, kd, 1, n), lambda i, c: (i, 0, c, 0),
+    # digits ride C-major so each grid step's block is [1, 1, kd, n] —
+    # whole trailing (kd, n) dims, Mosaic-legal for any kd
+    dg_c = jnp.transpose(dg, (2, 0, 1, 3))            # [C, k, kd, n]
+    d_dg = pl.BlockSpec((1, 1, kd, n), lambda i, c: (c, i, 0, 0),
                         memory_space=pltpu.VMEM)
     d_keys = pl.BlockSpec((1, kd, E, 2, n), lambda i, c: (i, 0, 0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -1096,14 +1145,15 @@ def ks_inner_grouped(dg: jax.Array, keys: jax.Array, pt: PallasNTTTables,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
-        functools.partial(_ks_inner_kernel_batch, lazy=lazy),
+        functools.partial(_ks_inner_kernel_grouped, lazy=lazy),
         grid=grid,
         in_specs=[smem, smem, smem, smem, table, table, d_dg, d_keys],
         out_specs=dout,
         out_shape=jax.ShapeDtypeStruct((k, 2, C * E, n), jnp.uint32),
         interpret=interpret,
         **kwargs,
-    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.inv_w, pt.inv_w_sh, dg, keys)
+    )(pt.p, pt.mu, pt.n_inv, pt.n_inv_shoup, pt.inv_w, pt.inv_w_sh,
+      dg_c, keys)
 
 
 @functools.partial(jax.jit,

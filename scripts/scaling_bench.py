@@ -266,6 +266,10 @@ def ici_cost_model(inventories: list[dict]) -> dict:
             "t_comm_us": round(t_comm * 1e6, 2),
             "t_compute_1chip_us": round(t1 * 1e6, 2),
             "predicted_efficiency": round(eff, 3),
+            # ceiling with perfect compute/comm overlap (batched serving:
+            # XLA async collectives hide under other items' compute)
+            "predicted_efficiency_overlap": round(
+                min(1.0, t1 / (P_ * t_comm)) if t_comm else 1.0, 3),
         }
     out["assumptions"] = {
         "ici_gbps_per_chip": ICI_GBPS,

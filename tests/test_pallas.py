@@ -519,6 +519,23 @@ def test_hoisted_multi_ct_batched(monkeypatch):
                                      base[c][s + 2]], (c, s)
 
 
+def test_ks_inner_grouped_matches_batch():
+    """ks_inner_grouped (C digit stacks x E key sets via grid-indexed
+    blocks; E = 8 exercises the GROUPED kernel, not the E%8 fallback) must
+    be bit-exact with ks_inner_batch over materialized repeat/tile."""
+    n, k, C, E = 1024, 3, 2, 8
+    ps, tb, pt, _ = make(n, k, 1)
+    dg = jnp.asarray(np.stack([
+        RNG.integers(0, p, (k, C, n), dtype=np.uint32) for p in ps]))
+    keys = jnp.asarray(np.stack([
+        RNG.integers(0, p, (k, E, 2, n), dtype=np.uint32) for p in ps]))
+    got = np.asarray(npal.ks_inner_grouped(dg, keys, pt, interpret=True))
+    want = np.asarray(npal.ks_inner_batch(
+        jnp.repeat(dg, E, axis=2), jnp.tile(keys, (1, 1, C, 1, 1)), pt,
+        interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_hoisted_sum_matches_composed(monkeypatch):
     """apply_galois_hoisted_sum (accumulating epilogue kernel) must equal
     ct + sum of apply_galois_hoisted outputs on the same pallas context
