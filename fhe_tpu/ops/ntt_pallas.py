@@ -1226,8 +1226,8 @@ def ks_inner_batch(dg: jax.Array, keys: jax.Array, pt: PallasNTTTables,
 
 def _keyswitch_kernel_batch(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
                             fwsh_ref, iw_ref, iwsh_ref, d_ref, keys_ref,
-                            o_ref, *, lazy=False):
-    kd, bt, n = d_ref.shape
+                            o_ref, *, lazy=False, prereduced=False):
+    kd, bt, n = d_ref.shape[-3:]
     i = pl.program_id(0)
     p = p_ref[i, 0]
     mu = mu_ref[i, 0]
@@ -1235,7 +1235,10 @@ def _keyswitch_kernel_batch(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
     inv = _inv_sweep_lazy if lazy else _inv_sweep
     # digit-major rows [kd*bt, n]: key row for flat row r is r // bt, so the
     # key operand is a ONE-TIME repeat down the sublanes (not per stage)
-    dr = mm.barrett_reduce_u32(d_ref[...].reshape(kd * bt, n), p, mu)
+    # (prereduced: grouped gadget digits arrive as per-prime residues
+    # [1, kd, bt, n] — see keyswitch_fused's prereduced lane)
+    dr = (d_ref[0].reshape(kd * bt, n) if prereduced
+          else mm.barrett_reduce_u32(d_ref[...].reshape(kd * bt, n), p, mu))
     f = fwd(dr, _wget_single(fw_ref[0], fwsh_ref[0]), p, n)   # [kd*bt, n]
     k0 = jnp.repeat(keys_ref[0, :, 0, :], bt, axis=0)         # [kd*bt, n]
     k1 = jnp.repeat(keys_ref[0, :, 1, :], bt, axis=0)
@@ -1261,23 +1264,28 @@ def _keyswitch_kernel_batch(p_ref, mu_ref, ninv_ref, ninvsh_ref, fw_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "block_batch", "lazy"))
+                   static_argnames=("interpret", "block_batch", "lazy",
+                                    "prereduced"))
 def keyswitch_fused_batch(d: jax.Array, keys_t: jax.Array,
                           pt: PallasNTTTables, interpret: bool = False,
-                          block_batch: int = 8, lazy: bool = True
-                          ) -> jax.Array:
+                          block_batch: int = 8, lazy: bool = True,
+                          prereduced: bool = False) -> jax.Array:
     """Batched fused key switch: d is [kd, B, n] gadget digits for B
-    independent ciphertexts (digit-major), keys_t as in keyswitch_fused.
+    independent ciphertexts (digit-major) — or, with prereduced=True,
+    [k, kd, B, n] per-prime residues of grouped gadget digits
+    (ks_omega > 1) — keys_t as in keyswitch_fused.
     Returns [k, 2, B, n]; slice b is bit-exact with
-    keyswitch_fused(d[:, b], keys_t)."""
+    keyswitch_fused(d[:, b], keys_t) (resp. (d[:, :, b], prereduced))."""
     k, kd, two, n = keys_t.shape
-    assert two == 2 and d.shape[0] == kd and d.shape[2] == n
-    batch = d.shape[1]
+    assert two == 2 and d.shape[-3] == kd and d.shape[-1] == n
+    assert d.ndim == (4 if prereduced else 3)
+    batch = d.shape[-2]
     tgt = _padded_batch_target(batch, block_batch)
     if tgt:
         out = keyswitch_fused_batch(
-            _pad_batch(d, 1, tgt), keys_t,
-            pt, interpret=interpret, block_batch=block_batch, lazy=lazy)
+            _pad_batch(d, d.ndim - 2, tgt), keys_t,
+            pt, interpret=interpret, block_batch=block_batch, lazy=lazy,
+            prereduced=prereduced)
         return out[:, :, :batch]
     bt = _pick_bt(batch, max(block_batch, 8))
     s = pt.fwd_w.shape[1]
@@ -1285,14 +1293,19 @@ def keyswitch_fused_batch(d: jax.Array, keys_t: jax.Array,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     table = pl.BlockSpec((1, s, n), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    d_in = pl.BlockSpec((kd, bt, n), lambda i, b: (0, b, 0),
-                        memory_space=pltpu.VMEM)
+    if prereduced:
+        d_in = pl.BlockSpec((1, kd, bt, n), lambda i, b: (i, 0, b, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        d_in = pl.BlockSpec((kd, bt, n), lambda i, b: (0, b, 0),
+                            memory_space=pltpu.VMEM)
     d_keys = pl.BlockSpec((1, kd, 2, n), lambda i, b: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     dout = pl.BlockSpec((1, 2, bt, n), lambda i, b: (i, 0, b, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_keyswitch_kernel_batch, lazy=lazy),
+        functools.partial(_keyswitch_kernel_batch, lazy=lazy,
+                          prereduced=prereduced),
         grid=grid,
         in_specs=[smem, smem, smem, smem, table, table, table, table,
                   d_in, d_keys],

@@ -804,9 +804,7 @@ def multiply_batch(ctx: SchemeContext, cts_a: list, cts_b: list,
     level = cts_a[0].level
     if any(ct.level != level for ct in cts_a + cts_b):
         raise ValueError("multiply_batch: all ciphertexts at one level")
-    if not ctx.use_pallas or ctx.use_mxu or _omega(ctx) > 1:
-        # omega > 1: the batched relin below builds per-prime digit rows;
-        # grouped digits compose per-ct for now (single-ct fused path)
+    if not ctx.use_pallas or ctx.use_mxu:
         return [multiply(ctx, a, b, rlk, keys_at_level)
                 for a, b in zip(cts_a, cts_b)]
     a_st = jnp.stack([to_coeff(ctx, a).data for a in cts_a])  # [B, k, 2, n]
@@ -838,9 +836,15 @@ def multiply_batch(ctx: SchemeContext, cts_a: list, cts_b: list,
     d = mm.mul_mod_shoup(
         out3[:, :, 2], inv_qhat[None, :, None], inv_qhat_sh[None, :, None],
         tb.p[None, :, None])                           # [B, k-L, n]
-    delta = _ntt_pl.keyswitch_fused_batch(
-        jnp.transpose(d, (1, 0, 2)), jnp.transpose(keys, (1, 0, 2, 3)),
-        _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))  # [k, 2, B, n]
+    y = jnp.transpose(d, (1, 0, 2))                    # [k-L, B, n]
+    tables = _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level)
+    keys_t = jnp.transpose(keys, (1, 0, 2, 3))
+    if _omega(ctx) > 1:
+        delta = _ntt_pl.keyswitch_fused_batch(
+            _grouped_digit_residues(ctx, y, level), keys_t, tables,
+            prereduced=True)                           # [k, 2, B, n]
+    else:
+        delta = _ntt_pl.keyswitch_fused_batch(y, keys_t, tables)
     data2 = mm.add_mod(out3[:, :, :2], from_k(delta),
                        tb.p[None, :, None, None])      # [B, k-L, 2, n]
     outs = []
@@ -1006,7 +1010,7 @@ def apply_galois_batch(ctx: SchemeContext, cts: list, g: int,
     apply_galois (one key down-switch, one permutation table, B
     sublane-packed key switches).  Element i == apply_galois(cts[i], g)."""
     level = cts[0].level
-    if (not ctx.use_pallas or len(cts) == 1 or _omega(ctx) > 1
+    if (not ctx.use_pallas or len(cts) == 1
             or any(ct.level != level for ct in cts)):
         return [apply_galois(ctx, ct, g, gal_keys, False, keys_at_level)
                 for ct in cts]
@@ -1034,9 +1038,15 @@ def apply_galois_batch(ctx: SchemeContext, cts: list, g: int,
     d = mm.mul_mod_shoup(
         permuted[:, :, 1], inv_qhat[None, :, None],
         inv_qhat_sh[None, :, None], tb.p[None, :, None])       # [B, k-L, n]
-    delta = _ntt_pl.keyswitch_fused_batch(
-        jnp.transpose(d, (1, 0, 2)), jnp.transpose(keys, (1, 0, 2, 3)),
-        _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level))     # [k, 2, B, n]
+    y = jnp.transpose(d, (1, 0, 2))                            # [k-L, B, n]
+    tables = _ntt_pl.slice_tables(ctx.ntt_q_pl, ctx.k - level)
+    keys_tp = jnp.transpose(keys, (1, 0, 2, 3))
+    if _omega(ctx) > 1:
+        delta = _ntt_pl.keyswitch_fused_batch(
+            _grouped_digit_residues(ctx, y, level), keys_tp, tables,
+            prereduced=True)                                   # [k, 2, B, n]
+    else:
+        delta = _ntt_pl.keyswitch_fused_batch(y, keys_tp, tables)
     delta_b = jnp.transpose(delta, (2, 0, 1, 3))               # [B, k, 2, n]
     c0 = mm.add_mod(permuted[:, :, :1], delta_b[:, :, :1], p4)
     out = jnp.concatenate([c0, delta_b[:, :, 1:]], axis=2)

@@ -51,9 +51,11 @@ def run_circuit(seed: int) -> tuple[bool, str]:
     # mixed plaintext moduli (all prime, = 1 mod 2n for n <= 8192):
     # 65537 Fermat fast path, 114689 = 7*2^14+1 and 786433 = 3*2^18+1 generic
     t_choice = int(rng.choice([65537, 65537, 114689, 786433]))
+    # r5: randomly exercise the grouped gadget (ks_omega=2)
+    omega = int(rng.choice([1, 1, 2]))
     params = make_scheme_params(
         SecurityParams(poly_degree=n, log_q=log_q, hamming_weight=hw,
-                       plain_modulus=t_choice))
+                       plain_modulus=t_choice, ks_omega=omega))
     t = params.t
     half = params.slot_count
     fhe = FHE(params, seed=seed, scheme=str(scheme))
@@ -79,13 +81,15 @@ def run_circuit(seed: int) -> tuple[bool, str]:
     for _ in range(n_ops):
         op = rng.choice(
             ["add", "sub", "mul", "add_plain", "sub_plain", "mul_plain",
-             "rot_rows", "rot_cols", "mod_switch"])
+             "rot_rows", "rot_cols", "mod_switch", "toggle_domain"])
         try:
             if op in ("add", "sub"):
                 other, ov = fresh()
                 other = fhe.mod_switch_to_level(other, ct.level)
                 if scheme == "bgv" and other.scale_t != ct.scale_t:
                     continue
+                if ct.is_ntt_form:          # r5 residency: match domains
+                    other = fhe.to_ntt(other)
                 ct = fhe.add(ct, other) if op == "add" else fhe.sub(ct, other)
                 model = (model + ov) % t if op == "add" else (model - ov) % t
             elif op == "mul":
@@ -109,7 +113,9 @@ def run_circuit(seed: int) -> tuple[bool, str]:
                     ct = fhe.sub_plain(ct, pt)
                     model = (model - pv) % t
                 else:
-                    ct = fhe.multiply_plain(ct, pt)
+                    # r5: randomly exercise the cached NTT-form operand
+                    ct = fhe.multiply_plain(
+                        ct, pt, cache_operand=bool(rng.integers(0, 2)))
                     model = (model * pv) % t
                     mults += 0  # plain mul grows noise but no level cost
             elif op == "rot_rows":
@@ -128,6 +134,10 @@ def run_circuit(seed: int) -> tuple[bool, str]:
                 if ct.level >= level_budget:
                     continue
                 ct = fhe.mod_switch_to_next(ct)
+            elif op == "toggle_domain":
+                # r5 NTT-form residency: plain ops run domain-resident;
+                # key-switch ops and decrypt convert at their boundary
+                ct = fhe.to_coeff(ct) if ct.is_ntt_form else fhe.to_ntt(ct)
             ops_trace.append(str(op))
         except ValueError:
             continue  # scale/level mismatch guards firing is fine
