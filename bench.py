@@ -287,6 +287,7 @@ class Bench:
             "rotate_rows_ms_batched": _rnd(ms("rot_b8")),
             "rotate_rows_ms_k8": _rnd(ms("rot_k8")),
             "rotate_hoisted_ms_per_rot_k8": _rnd(ms("rot_hoist_k8")),
+            "rotate_hoisted_ms_per_rot_k8_omega2": _rnd(ms("rot_hoist_k8_w2")),
             "rotate_hoisted_b4_ms_per_rot_k8": _rnd(ms("rot_hoist_k8_b4")),
             "sum_slots_ms": _rnd(ms("sum_slots")),
             "pt_mac8_resident_ms": _rnd(ms("pt_mac8_resident")),
@@ -382,6 +383,7 @@ class Bench:
         "encrypt_ms", "decrypt_ms", "decrypt_ms_batched",
         "rotate_rows_ms", "rotate_hoisted_ms_per_rot",
         "rotate_hoisted_ms_per_rot_k8", "rotate_rows_ms_k8",
+        "rotate_hoisted_ms_per_rot_k8_omega2",
         "rotate_hoisted_b4_ms_per_rot_k8",
         "sum_slots_ms", "keygen_ms",
         "pt_mac8_resident_ms", "pt_mac8_coeff_ms", "residency_speedup",
@@ -742,19 +744,34 @@ def main():
         got8 = fhe8w.decode(fhe8w.decrypt(fhe8w.multiply(c8a, c8b, rlk8),
                                           sk8))
         assert list(got8[:2]) == [15, 60], got8[:2]
-        gk8 = fhe8w.galoiskey_gen(
-            sk8, elements=(pow(3, 1, 2 * n),))
+        hoist_elems = env.get(
+            "hoist_elems", tuple(pow(3, s, 2 * n) for s in range(1, 9)))
+        gk8 = fhe8w.galoiskey_gen(sk8, elements=hoist_elems)
         got_r = fhe8w.decode(fhe8w.decrypt(
             fhe8w.rotate_rows(c8a, 1, gk8), sk8))
         assert list(got_r[:1]) == [10], got_r[:2]
-        return [
+        chains = [
             Chain("mul_k8_w2", lambda a: bfv.multiply(
                 fhe8w.ctx, c8a.replace(data=a), c8b, rlk8).data,
                 c8a.data, hi=85, lo=5),
             Chain("rot_k8_w2", lambda a: bfv.apply_galois(
-                fhe8w.ctx, c8a.replace(data=a), pow(3, 1, 2 * n),
+                fhe8w.ctx, c8a.replace(data=a), hoist_elems[0],
                 gk8).data, c8a.data, hi=85, lo=5),
         ]
+        pre_hw = (bfv.hoisted_galois_keys(fhe8w.ctx, gk8, hoist_elems)
+                  if fhe8w.ctx.use_pallas else None)
+        p3_8w = fhe8w.ctx.ntt_q.p[:, None, None]
+
+        def rot_hoist8w_step(a):
+            outs = bfv.apply_galois_hoisted(
+                fhe8w.ctx, c8a.replace(data=a), hoist_elems, gk8,
+                pre_keys=pre_hw)
+            return mmx.add_mod_tree(jnp.stack([o.data for o in outs]),
+                                    p3_8w[None], axis=0)[0]
+
+        chains.append(Chain("rot_hoist_k8_w2", rot_hoist8w_step, c8a.data,
+                            hi=45, lo=5, div=8.0))
+        return chains
 
     def g_n16384():
         fhe16 = FHE(make_scheme_params(SecurityParams(
