@@ -501,6 +501,29 @@ class FHE:
             return _bs.bootstrap_binary(self.ctx, self._next_key(), ct, sk,
                                         bsk, ks_keys=ks)
 
+    def bootstrap_lut(self, ct, lut, sk: SecretKey, bsk=None,
+                      payload_bits: int | None = None):
+        """PROGRAMMABLE bootstrap: refresh a small constant-coefficient
+        payload m while evaluating an arbitrary table — the output
+        encrypts lut[m] at fresh noise (scheme/bootstrap.bootstrap_lut).
+        lut = [0, 1] is the binary refresh; lut = [1, 0] encrypted NOT;
+        wider tables evaluate any function of a multi-bit payload."""
+        from .scheme import bootstrap as _bs
+        if self.scheme_name != "bfv":
+            raise NotImplementedError("bootstrap pipeline is BFV-only")
+        ck = id(sk)
+        ks = self._bootstrap_ks_cache.get(ck)
+        if ks is None:
+            import weakref
+            ks = _bs.keyswitch_keygen(self.ctx, self._next_key(), sk, sk)
+            self._bootstrap_ks_cache[ck] = ks
+            weakref.finalize(
+                sk, lambda c=self._bootstrap_ks_cache, i=ck: c.pop(i, None))
+        with self.monitor.time("bootstrap_lut"):
+            return _bs.bootstrap_lut(
+                self.ctx, self._next_key(), ct, lut, sk,
+                payload_bits=payload_bits, bsk=bsk, ks_keys=ks)
+
     def bootstrap_binary_batch(self, cts: list, sk: SecretKey, bsk) -> list:
         """B independent binary bootstraps through ONE batched blind
         rotation (the 2n external products amortize across the batch);

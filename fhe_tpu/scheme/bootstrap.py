@@ -101,23 +101,37 @@ def _small_mod_consts(ctx: SchemeContext, level: int) -> _rns.DecryptConsts:
 def extract_lsb(ctx: SchemeContext, ct: Ciphertext, index: int = 0
                 ) -> LWECiphertext:
     """RLWE -> LWE over Z_{2n}: the declared LSB-extraction step
-    (``include/fhe.cuh:138``).
+    (``include/fhe.cuh:138``); the payload_bits=1 case of
+    extract_payload below."""
+    return extract_payload(ctx, ct, 1, index)
 
-    1. scalar-multiply by floor(t/2): the bit moves from the Delta position
-       to the q/2 (sign) position — phase ~ (q/2)*bit + (t/2)*e,
-    2. exact-round every component to the small modulus 2n,
+
+def extract_payload(ctx: SchemeContext, ct: Ciphertext,
+                    payload_bits: int = 1, index: int = 0
+                    ) -> LWECiphertext:
+    """RLWE -> LWE over Z_{2n} carrying a w-bit payload in the top bits.
+
+    1. scalar-multiply by floor(t/2^w): plaintext m in [0, 2^w) moves from
+       the Delta position to the top — phase ~ (q/2^w)*m + (t/2^w)*e,
+    2. exact-round every component to the small modulus 2n: phase over
+       Z_2n ~ m * (2n/2^w),
     3. sample-extract coefficient ``index``:
          b = c0'[index],   a_j carrying <a, s_coeffs> via the negacyclic
          index algebra (a_j = c1'[index-j], negated for wrapped indices).
+
+    w = 1 is the binary pipeline; larger w feeds bootstrap_lut (the
+    programmable bootstrap), whose LUT domain is [0, 2^(w-1)) — the top
+    bit is the negacyclic padding bit.
     """
     p = ctx.params
     n = p.n
     ct = _bfv.to_coeff(ctx, ct)
-    assert ct.num_components == 2, "extract_lsb needs a 2-component ct"
+    assert ct.num_components == 2, "extract needs a 2-component ct"
     level = ct.level
     tb = _bfv._tb(ctx, level)
 
-    half_t = p.t // 2
+    half_t = p.t >> payload_bits
+    assert half_t > 0, "payload wider than the plaintext modulus"
     scaled = _poly.mul_scalar(ct.data, half_t, tb)      # [kl, 2, n]
 
     dc = _small_mod_consts(ctx, level)
@@ -423,6 +437,7 @@ def blind_rotate(ctx: SchemeContext, lwe: LWECiphertext,
                  bsk: BootstrapKey | None = None, *,
                  sk: SecretKey | None = None, key: jax.Array | None = None,
                  test_poly: jax.Array | None = None,
+                 offset: int | None = None,
                  level: int = 0) -> Ciphertext:
     """Accumulator blind rotation (``include/fhe.cuh:139``): returns an RLWE
     encryption of X^{-phase(lwe)} * test_poly under the scheme key.
@@ -453,9 +468,11 @@ def blind_rotate(ctx: SchemeContext, lwe: LWECiphertext,
     if test_poly is None:
         test_poly = _sign_test_poly(ctx, level)
 
-    # acc = (X^{n/2 - b} * testv, 0): the n/2 offset centers the two
-    # plateaus so |rounding noise| < n/2 flips nothing.
-    shift0 = jnp.mod(jnp.int32(n // 2) - lwe.b.astype(jnp.int32),
+    # acc = (X^{offset - b} * testv, 0): the half-plateau offset centers
+    # each plateau so |rounding noise| < plateau/2 flips nothing
+    # (binary: offset = n/2; bootstrap_lut passes its plateau half S/2).
+    off = n // 2 if offset is None else int(offset)
+    shift0 = jnp.mod(jnp.int32(off) - lwe.b.astype(jnp.int32),
                      jnp.int32(2 * n)).astype(jnp.uint32)
     acc0 = _monomial_mul(test_poly, shift0, n, p3)
     acc = jnp.concatenate([acc0, jnp.zeros_like(acc0)], axis=1)  # [kl, 2, n]
@@ -493,6 +510,42 @@ def _sign_test_poly(ctx: SchemeContext, level: int) -> jax.Array:
     c = (q_l // p.t) // 2
     vals = np.stack([np.full(p.n, c % int(pi), dtype=_U) for pi in primes_l])
     return jnp.asarray(vals)[:, None, :]
+
+
+def _lut_test_poly(ctx: SchemeContext, level: int, lut,
+                   payload_bits: int) -> jax.Array:
+    """Plateau test polynomial for the programmable bootstrap.
+
+    With offset S/2 (S = 2n / 2^w), the rotated accumulator's coefficient
+    0 reads G(phase - S/2) where G is the negacyclic extension of the
+    coefficient vector (G(e) = T[e] on [0, n), -T[e-n] on [n, 2n)).  A
+    payload m has phase ~ m*S, so e lands in (mS - S, mS):
+
+        T[(m-1)S : mS] = Delta * lut[m]      for m = 1 .. 2^(w-1)-1
+        T[n-S : n]     = -Delta * lut[0]     (m = 0 wraps negacyclically)
+
+    The top half of the payload space (m >= 2^(w-1)) is the padding bit —
+    callers keep plaintexts below it (any negacyclic-antisymmetric f could
+    use the full range, but an arbitrary LUT cannot)."""
+    p = ctx.params
+    n = p.n
+    w = payload_bits
+    S = (2 * n) >> w
+    assert S >= 2, "payload too wide for the ring degree"
+    m_max = 1 << (w - 1)
+    assert len(lut) == m_max, (len(lut), m_max)
+    kl = ctx.k - level
+    primes_l = p.q_primes[:kl]
+    q_l = math.prod(int(x) for x in primes_l)
+    delta = q_l // p.t
+    vals = [delta * (int(v) % p.t) for v in lut]
+    tc = np.zeros((kl, n), dtype=_U)
+    for i, pi in enumerate(primes_l):
+        pi = int(pi)
+        for m in range(1, m_max):
+            tc[i, (m - 1) * S: m * S] = vals[m] % pi
+        tc[i, n - S:] = (-vals[0]) % pi
+    return jnp.asarray(tc)[:, None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -568,6 +621,66 @@ def bootstrap_binary(ctx: SchemeContext, key: jax.Array, ct: Ciphertext,
     # 4. key switch RLWE' -> RLWE (self-keyed here: the rotation already
     # lands under the scheme key; the switch matches the declared pipeline
     # and re-randomizes the ciphertext under fresh encryption randomness)
+    if ks_keys is None:
+        ks_keys = keyswitch_keygen(ctx, k2, sk, sk)
+    out = _bfv.key_switch(ctx, out, ks_keys)
+    return out.replace(noise_budget=jnp.maximum(0.0, _noise.bfv_budget(
+        p, 0,
+        _noise.add(_noise.bfv_variance(p, 0, out.noise_budget),
+                   _noise.keyswitch_add(p, 0)))))
+
+
+def bootstrap_lut(ctx: SchemeContext, key: jax.Array, ct: Ciphertext,
+                  lut, sk: SecretKey, payload_bits: int | None = None,
+                  bsk: BootstrapKey | None = None,
+                  ks_keys: jax.Array | None = None) -> Ciphertext:
+    """PROGRAMMABLE bootstrap (functional/LUT; beyond the binary refresh):
+    the output encrypts ``lut[m]`` at fresh noise for a constant-coefficient
+    plaintext m in [0, len(lut)) — any function of a small payload is
+    evaluated DURING the refresh, for free.
+
+        extract_payload -> blind_rotate(plateau LUT test vector)
+            -> modulus_raise -> key_switch
+
+    ``lut``: 2^(w-1) values mod t (w = payload_bits; defaults to the
+    smallest width fitting the table).  The top payload bit is the
+    negacyclic padding bit, so plaintexts must stay below len(lut).
+    lut = [0, 1] reproduces bootstrap_binary's semantics (identity on a
+    bit); lut = [1, 0] is encrypted NOT; a 4-entry table computes any
+    Z_t-valued function of a 2-bit payload."""
+    p = ctx.params
+    n = p.n
+    level = ct.level
+    if payload_bits is None:
+        payload_bits = max(1, (len(lut) - 1).bit_length()) + 1
+    m_max = 1 << (payload_bits - 1)
+    if len(lut) != m_max:
+        lut = list(lut) + [0] * (m_max - len(lut))
+    if bsk is not None and bsk.level != level:
+        raise ValueError(
+            f"bootstrap key level {bsk.level} != ciphertext level {level}")
+    k1, k2 = jax.random.split(key)
+
+    S = (2 * n) >> payload_bits
+    lwe = extract_payload(ctx, ct, payload_bits, index=0)
+    tv = _lut_test_poly(ctx, level, lut, payload_bits)
+    out = blind_rotate(ctx, lwe, bsk, sk=sk, key=k1, test_poly=tv,
+                       offset=S // 2, level=level)
+    # no plateau recentering needed: the LUT plateaus already sit at
+    # Delta * lut[m] (the binary pipeline's +Delta/2 shift is the
+    # lut = [-1/2, +1/2] special case)
+
+    kl = ctx.k - level
+    if level:
+        lv_rot = _noise.bfv_variance(p, level, out.noise_budget)
+        out = _bfv.modulus_raise(ctx, out)
+        q_drop = math.prod(int(x) for x in p.q_primes[kl:])
+        drop_res = jnp.asarray(np.array(
+            [q_drop % int(pi) for pi in p.q_primes], dtype=_U))
+        out = out.replace(
+            data=_poly.mul_scalar(out.data, drop_res, ctx.ntt_q),
+            noise_budget=jnp.maximum(0.0, _noise.bfv_budget(
+                p, 0, 2.0 * math.log2(q_drop) + lv_rot)))
     if ks_keys is None:
         ks_keys = keyswitch_keygen(ctx, k2, sk, sk)
     out = _bfv.key_switch(ctx, out, ks_keys)

@@ -39,6 +39,48 @@ def _encrypt_bit(ctx, pk, bit, key):
     return jax.jit(bfv.encrypt)(ctx, key, pk, Plaintext(data=jnp.asarray(data)))
 
 
+def _encrypt_payload(ctx, pk, m, key):
+    from fhe_tpu.scheme.types import Plaintext
+    data = np.zeros(ctx.n, dtype=np.uint32)
+    data[0] = m
+    return jax.jit(bfv.encrypt)(ctx, key, pk,
+                                Plaintext(data=jnp.asarray(data)))
+
+
+def test_bootstrap_lut_identity_and_not(setup):
+    """Programmable bootstrap, 1-bit payload: lut=[0,1] refreshes the bit
+    (binary semantics), lut=[1,0] is encrypted NOT — both with fresh
+    noise and coefficient-0 residual << Delta."""
+    params, ctx, pk, sk, kb = setup
+    bsk = bootstrap.make_bootstrap_key(ctx, jrandom.fold_in(kb, 50), sk, 0)
+    ks = bootstrap.keyswitch_keygen(ctx, jrandom.fold_in(kb, 51), sk, sk)
+    for bit in (0, 1):
+        ct = _encrypt_payload(ctx, pk, bit, jrandom.fold_in(kb, 60 + bit))
+        for lut, want in (([0, 1], bit), ([1, 0], 1 - bit)):
+            out = bootstrap.bootstrap_lut(
+                ctx, jrandom.fold_in(kb, 70 + bit), ct, lut, sk,
+                bsk=bsk, ks_keys=ks)
+            dec = np.asarray(bfv.decrypt(ctx, out, sk).data)
+            assert int(dec[0]) == want, (bit, lut, dec[0])
+
+
+def test_bootstrap_lut_two_bit_table(setup):
+    """2-bit payload (payload_bits=3): an arbitrary 4-entry table —
+    squaring mod 5 here — is evaluated during the refresh."""
+    params, ctx, pk, sk, kb = setup
+    bsk = bootstrap.make_bootstrap_key(ctx, jrandom.fold_in(kb, 80), sk, 0)
+    ks = bootstrap.keyswitch_keygen(ctx, jrandom.fold_in(kb, 81), sk, sk)
+    lut = [(m * m) % 5 for m in range(4)]          # [0, 1, 4, 4]
+    for m in range(4):
+        ct = _encrypt_payload(ctx, pk, m, jrandom.fold_in(kb, 90 + m))
+        out = bootstrap.bootstrap_lut(
+            ctx, jrandom.fold_in(kb, 95 + m), ct, lut, sk,
+            bsk=bsk, ks_keys=ks)
+        dec = np.asarray(bfv.decrypt(ctx, out, sk).data)
+        assert int(dec[0]) == lut[m], (m, lut, dec[0])
+        assert float(out.noise_budget) > 0
+
+
 def test_extract_lsb_phase(setup):
     """The extracted LWE sample's phase must be ~n*bit mod 2n."""
     params, ctx, pk, sk, kb = setup
