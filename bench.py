@@ -958,9 +958,9 @@ def main():
         ("residency", g_residency),
         ("k8", g_k8_all),
         ("n16384", g_n16384),
+        ("bootstrap", g_bootstrap),
         ("enc_dec", g_enc_dec),
         ("bgv", g_bgv),
-        ("bootstrap", g_bootstrap),
         ("mxu", g_mxu),
         ("n32768", g_n32768),
     ]
@@ -984,6 +984,13 @@ def main():
             if chains:
                 bench.merge(run_rounds(chains))
             done.append(name)
+            # free this group's chains/closures/jit executables before the
+            # next context builds: 13 groups of baked-constant executables
+            # accumulated to an HBM RESOURCE_EXHAUSTED on the tail groups
+            # (bootstrap's 0.5 GB key argument was the straw)
+            del chains
+            import gc
+            gc.collect()
         except Exception as e:  # crash-isolate: one bad group (tunnel
             # hiccup, OOM, failed golden check) must not kill the numbers
             # already measured — the headline group alone is NOT guarded
