@@ -16,9 +16,10 @@ driver-parsed numbers — r4 timed out before printing a byte):
     measured so far.
   * Contexts are built lazily, per group — the k=8 / bootstrap / MXU
     contexts don't exist until their group's turn.
-  * A wall-clock budget (env FHE_BENCH_BUDGET_S, default 420 s) gates each
+  * A wall-clock budget (env FHE_BENCH_BUDGET_S, default 900 s) gates each
     group start and each sampling round; when it expires the bench stops
-    starting new work, emits the final line, and exits 0.
+    starting new work, emits the final line, and exits 0.  A fully-cached
+    13-group run takes ~12 min; cold or post-hang tunnels run 2-3x that.
 
 Baseline of record (BASELINE.md): the reference's documented RTX 4090 numbers
   * homomorphic multiply incl. relinearization: ~40 ms  -> 25 ops/s
@@ -691,7 +692,7 @@ def main():
         p3_8 = fhe8.ctx.ntt_q.p[:, None, None]
         chains.append(Chain("rot_k8", lambda a: bfv.apply_galois(
             fhe8.ctx, c8a.replace(data=a), hoist_elems[0], gk8).data,
-            c8a.data, hi=85, lo=5))
+            c8a.data, hi=255, lo=15))
         pre_h8 = (bfv.hoisted_galois_keys(fhe8.ctx, gk8, hoist_elems)
                   if fhe8.ctx.use_pallas else None)
 
@@ -756,7 +757,7 @@ def main():
                 c8a.data, hi=85, lo=5),
             Chain("rot_k8_w2", lambda a: bfv.apply_galois(
                 fhe8w.ctx, c8a.replace(data=a), hoist_elems[0],
-                gk8).data, c8a.data, hi=85, lo=5),
+                gk8).data, c8a.data, hi=255, lo=15),
         ]
         pre_hw = (bfv.hoisted_galois_keys(fhe8w.ctx, gk8, hoist_elems)
                   if fhe8w.ctx.use_pallas else None)
@@ -827,7 +828,7 @@ def main():
         assert list(bgot[:4]) == [15, 60, 135, 240], bgot[:4]
         return [Chain("bgv_mul", lambda a: _bgv.multiply(
             bfhe.ctx, bct1.replace(data=a), bct2, brlk).data,
-            bct1.data, hi=150, lo=10)]
+            bct1.data, hi=305, lo=20)]
 
     def g_bootstrap():
         from fhe_tpu.scheme import bootstrap as _bs

@@ -54,6 +54,22 @@ def main() -> int:
               f"(budget {float(fresh.noise_budget):.1f} bits)\n")
         ok &= got == bit
 
+    # PROGRAMMABLE bootstrap: an arbitrary lookup table is evaluated
+    # DURING the refresh — here squaring mod 5 on a 2-bit payload
+    # (bootstrap_lut; the binary refresh above is its lut=[0,1] case)
+    lut = [(m * m) % 5 for m in range(4)]
+    print(f"4. Programmable bootstrap: lut = {lut} (m -> m^2 mod 5)")
+    for m in range(4):
+        data = np.zeros(fhe.params.n, dtype=np.uint32)
+        data[0] = m
+        ct = fhe.encrypt(Plaintext(data=jnp.asarray(data)), pk)
+        out = fhe.bootstrap_lut(ct, lut, sk, bsk)
+        got = int(np.asarray(fhe.decrypt(out, sk).data)[0])
+        status = "OK" if got == lut[m] else "MISMATCH"
+        print(f"   lut[{m}] -> {got}  [{status}]")
+        ok &= got == lut[m]
+    print()
+
     print("=== " + ("Example completed successfully!"
                     if ok else "EXAMPLE FAILED") + " ===")
     return 0 if ok else 1
